@@ -1,0 +1,176 @@
+"""Unified collaborative detection model.
+
+One flax module covers the reference's whole det model zoo (SURVEY.md
+§2.1: FaFNet, TeacherNet, When2com, V2VNet, DiscoNet, *Fusion — all of
+† coperception/models/det/) by composing the shared STPN backbone + heads
+with a fusion strategy selected by a *static* config string. This mirrors
+how the reference factors `DetModelBase` + per-strategy subclasses, but
+as data (config) instead of a class hierarchy — every variant compiles to
+the same jitted train/eval step shape.
+
+Input contract (the reference's L4 contract, SURVEY.md §1):
+  occupancy (B, A, H, W, D)   — per-agent BEV voxel occupancy, D z-slices
+                                 as channels;
+  trans     (B, A, A, 4, 4)   — pairwise agent pose transforms,
+                                 trans[b, i, j] = T_{i<-j};
+  agent_mask(B, A)            — real-agent mask (the reference's
+                                 `num_agent_tensor` as a mask).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from v2x_sim_tpu.configs.config import Config
+from v2x_sim_tpu.models.backbone import (
+    ClassificationHead,
+    RegressionHead,
+    STPNDecoder,
+    STPNEncoder,
+    fold_agents,
+    unfold_agents,
+)
+from v2x_sim_tpu.models.det import fusion as F
+from v2x_sim_tpu.models.det.v2vnet import V2VNetFusion
+from v2x_sim_tpu.models.det.when2com import When2comFusion
+
+#: All supported collaboration modes (superset of the reference's --com).
+MODES = (
+    "lowerbound",
+    "upperbound",
+    "sum",
+    "mean",
+    "max",
+    "cat",
+    "agent",
+    "when2com",
+    "who2com",
+    "v2v",
+    "disco",
+)
+
+
+class DetOutput(NamedTuple):
+    """cls_logits (B, A, H, W, K, C); reg (B, A, H, W, K, 6);
+    fused_feat — the post-fusion feature map (KD student features, or None
+    when kd is disabled)."""
+
+    cls_logits: jnp.ndarray
+    reg: jnp.ndarray
+    fused_feat: Optional[jnp.ndarray]
+
+
+class DetModel(nn.Module):
+    """Backbone + (optional) fusion + heads for any collaboration mode."""
+
+    config: Config
+    mode: str = "lowerbound"
+    fusion_layer: Optional[int] = None  # default: config.fusion_layer
+    kd: bool = False
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        assert self.mode in MODES, f"unknown mode {self.mode}"
+        self.encoder = STPNEncoder(axis_name=self.axis_name)
+        self.decoder = STPNDecoder(axis_name=self.axis_name)
+        self.cls_head = ClassificationHead(
+            self.config.anchors.num_anchors, self.config.num_classes
+        )
+        self.reg_head = RegressionHead(
+            self.config.anchors.num_anchors, self.config.anchors.box_code_size
+        )
+        grid = self.config.grid
+        if self.mode == "cat":
+            self.fusion = F.CatFusion(grid)
+        elif self.mode == "agent":
+            self.fusion = F.AgentWiseWeightedFusion(grid)
+        elif self.mode == "disco":
+            self.fusion = F.DiscoFusion(grid)
+        elif self.mode == "when2com":
+            self.fusion = When2comFusion(grid, argmax_mode=False)
+        elif self.mode == "who2com":
+            self.fusion = When2comFusion(grid, argmax_mode=True)
+        elif self.mode == "v2v":
+            self.fusion = V2VNetFusion(grid)
+        else:
+            self.fusion = None
+
+    @property
+    def _layer(self) -> int:
+        return (
+            self.config.fusion_layer
+            if self.fusion_layer is None
+            else self.fusion_layer
+        )
+
+    def _fuse(self, feat, trans, mask, train):
+        grid = self.config.grid
+        if self.mode == "sum":
+            return F.fuse_sum(feat, trans, mask, grid)
+        if self.mode == "mean":
+            return F.fuse_mean(feat, trans, mask, grid)
+        if self.mode == "max":
+            return F.fuse_max(feat, trans, mask, grid)
+        return self.fusion(feat, trans, mask, train)
+
+    def __call__(
+        self,
+        occupancy: jnp.ndarray,
+        trans: jnp.ndarray,
+        agent_mask: jnp.ndarray,
+        train: bool = True,
+    ) -> DetOutput:
+        b, a = occupancy.shape[0], occupancy.shape[1]
+        x = fold_agents(occupancy)
+        feats = list(self.encoder(x, train))
+
+        if self.mode not in ("lowerbound", "upperbound"):
+            k = self._layer
+            f = unfold_agents(feats[k], a)
+            fused = self._fuse(f, trans, agent_mask, train)
+            feats[k] = fold_agents(fused)
+
+        decoded = self.decoder(feats, train)
+        cls = unfold_agents(self.cls_head(decoded), a)
+        reg = unfold_agents(self.reg_head(decoded), a)
+        fused_feat = (
+            unfold_agents(feats[self._layer], a) if self.kd else None
+        )
+        return DetOutput(cls, reg, fused_feat)
+
+
+class TeacherModel(nn.Module):
+    """Early-fusion teacher for DiscoNet KD
+    († coperception/models/det/TeacherNet.py): runs the backbone on
+    merged-cloud occupancy and exposes the intermediate feature map at the
+    fusion layer as the distillation target."""
+
+    config: Config
+    fusion_layer: Optional[int] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, occupancy: jnp.ndarray, train: bool = False
+    ) -> DetOutput:
+        a = occupancy.shape[1]
+        k = (
+            self.config.fusion_layer
+            if self.fusion_layer is None
+            else self.fusion_layer
+        )
+        x = fold_agents(occupancy)
+        feats = STPNEncoder(axis_name=self.axis_name)(x, train)
+        decoded = STPNDecoder(axis_name=self.axis_name)(feats, train)
+        cls = ClassificationHead(
+            self.config.anchors.num_anchors, self.config.num_classes
+        )(decoded)
+        reg = RegressionHead(
+            self.config.anchors.num_anchors, self.config.anchors.box_code_size
+        )(decoded)
+        return DetOutput(
+            unfold_agents(cls, a), unfold_agents(reg, a), unfold_agents(feats[k], a)
+        )

@@ -1,0 +1,145 @@
+"""Cross-agent ego-frame feature warping.
+
+The heart of the simulated V2X communication layer (L4 in SURVEY.md §1):
+the reference warps each neighbor's BEV feature map into the ego frame
+with `F.affine_grid` + `F.grid_sample` per (ego, neighbor) pair inside a
+Python loop († coperception/models/det/base/DetModelBase.py
+`feature_transformation`). Here the warp is ONE batched bilinear gather
+over a static agent axis, compiled by XLA; all A^2 pairs are materialized
+as a (B, A, A, H, W, C) tensor in a single fused kernel.
+
+Transform convention: ``trans[b, i, j]`` is the 4x4 rigid transform taking
+points in agent j's frame to agent i's frame (T_{i<-j}). To render agent
+j's features in agent i's frame we sample j's map at
+``p_j = trans[b, j, i] @ p_i`` — the inverse is a table lookup, never a
+matrix inverse.
+
+Sampling semantics match torch `grid_sample(align_corners=False,
+padding_mode='zeros', mode='bilinear')` for checkpoint parity (SURVEY.md
+§7 hard parts); golden-tested against torch-cpu in tests/test_warp.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from v2x_sim_tpu.configs.config import GridConfig
+
+
+def bilinear_sample(feats: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample a feature map at fractional pixel coordinates.
+
+    Args:
+      feats: (..., H, W, C) source features.
+      px: (..., Ho, Wo) fractional row coordinate (0 = center of row 0).
+      py: (..., Ho, Wo) fractional col coordinate.
+
+    Returns:
+      (..., Ho, Wo, C); zero outside the source extent (zeros padding).
+    """
+    h, w = feats.shape[-3], feats.shape[-2]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = (px - x0)[..., None]
+    ty = (py - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < h) & (yi >= 0) & (yi < w)
+        xc = jnp.clip(xi, 0, h - 1)
+        yc = jnp.clip(yi, 0, w - 1)
+        vals = jnp.take_along_axis(
+            feats.reshape(feats.shape[:-3] + (h * w, feats.shape[-1])),
+            (xc * w + yc).reshape(xc.shape[:-2] + (-1,))[..., None],
+            axis=-2,
+        ).reshape(xi.shape + (feats.shape[-1],))
+        return vals * inb[..., None]
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i, y0i + 1)
+    v10 = tap(x0i + 1, y0i)
+    v11 = tap(x0i + 1, y0i + 1)
+    return (
+        v00 * (1 - tx) * (1 - ty)
+        + v01 * (1 - tx) * ty
+        + v10 * tx * (1 - ty)
+        + v11 * tx * ty
+    )
+
+
+def _pixel_grid(shape: Tuple[int, int], grid: GridConfig, dtype=jnp.float32):
+    """Metric (x, y) centers of each cell of an (H, W) BEV map.
+
+    The map covers grid.area_extents regardless of resolution (fusion
+    happens on downsampled encoder maps).
+    """
+    h, w = shape
+    (x0, x1), (y0, y1) = grid.area_extents[0], grid.area_extents[1]
+    sx = (x1 - x0) / h
+    sy = (y1 - y0) / w
+    xs = x0 + (jnp.arange(h, dtype=dtype) + 0.5) * sx
+    ys = y0 + (jnp.arange(w, dtype=dtype) + 0.5) * sy
+    return jnp.meshgrid(xs, ys, indexing="ij"), (sx, sy)
+
+
+def warp_features(
+    feats: jnp.ndarray,
+    trans_j_from_i: jnp.ndarray,
+    grid: GridConfig,
+) -> jnp.ndarray:
+    """Warp one feature map into a target frame.
+
+    Args:
+      feats: (H, W, C) features in the source (j) frame.
+      trans_j_from_i: (4, 4) transform taking target-frame (i) points into
+        the source (j) frame.
+      grid: metric extents of the BEV map.
+
+    Returns:
+      (H, W, C) features rendered in the target frame.
+    """
+    h, w = feats.shape[0], feats.shape[1]
+    (gx, gy), (sx, sy) = _pixel_grid((h, w), grid, feats.dtype)
+    r = trans_j_from_i[:2, :2]
+    t = trans_j_from_i[:2, 3]
+    xj = r[0, 0] * gx + r[0, 1] * gy + t[0]
+    yj = r[1, 0] * gx + r[1, 1] * gy + t[1]
+    (x0, _), (y0, _) = grid.area_extents[0], grid.area_extents[1]
+    px = (xj - x0) / sx - 0.5
+    py = (yj - y0) / sy - 0.5
+    return bilinear_sample(feats, px, py)
+
+
+def warp_all_pairs(
+    feats: jnp.ndarray,
+    trans: jnp.ndarray,
+    grid: GridConfig,
+) -> jnp.ndarray:
+    """Warp every agent's features into every other agent's frame.
+
+    Args:
+      feats: (B, A, H, W, C) per-agent feature maps (each in its own frame).
+      trans: (B, A, A, 4, 4); trans[b, i, j] = T_{i<-j}.
+      grid: BEV metric extents.
+
+    Returns:
+      (B, A, A, H, W, C) where out[b, i, j] = agent j's features rendered
+      in agent i's frame. out[b, i, i] == feats[b, i] (identity transform).
+    """
+    import jax
+
+    b, a = feats.shape[0], feats.shape[1]
+    # For output pair (i, j) we need T_{j<-i} = trans[b, j, i].
+    t_src_from_dst = jnp.swapaxes(trans, 1, 2)  # [b, i, j] -> T_{j<-i}
+
+    def one_pair(f_j, t_ji):
+        return warp_features(f_j, t_ji, grid)
+
+    # vmap over j (source), then i (target), then batch.
+    per_i = jax.vmap(one_pair, in_axes=(0, 0))  # over j
+    per_b = jax.vmap(per_i, in_axes=(None, 0))  # over i: feats shared
+    out = jax.vmap(per_b, in_axes=(0, 0))(feats, t_src_from_dst)
+    return out
