@@ -1,0 +1,77 @@
+"""Headline benchmark: collaborative BEV detection throughput on one chip.
+
+Measures the full flagship inference pipeline — padded LiDAR points ->
+on-device voxelization -> STPN backbone -> DiscoNet 6-agent fusion ->
+heads -> box decode -> rotated NMS — at the production geometry
+(256 x 256 x 13 BEV, 6 agents), end to end under one jit, on the real
+TPU chip the driver provides.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference never published throughput (BASELINE.md); the
+driver's north star is >=5x a PyTorch-GPU baseline. Until a reference GPU
+measurement exists we normalize against REFERENCE_GPU_SCENES_PER_SEC, an
+explicit documented estimate of the reference pipeline's single-GPU rate
+(forward + host-side shapely NMS on a ~10M-param CNN over 6 agents).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+# Documented placeholder for the unpublished PyTorch-GPU reference rate
+# (6-agent scenes/sec, forward + postprocess). See BASELINE.md.
+REFERENCE_GPU_SCENES_PER_SEC = 30.0
+
+BATCH = 4
+STEPS = 20
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2x_sim_tpu.configs.config import Config
+    from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
+    from v2x_sim_tpu.train.det_module import DetModule
+
+    cfg = Config()  # production geometry: 256x256x13, 6 agents
+    spec = SyntheticSpec(points_per_agent=8192, num_vehicles=12, max_gt=32)
+    raw = generate_batch(cfg, spec, batch_size=BATCH, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+
+    module = DetModule(cfg, mode="disco")
+    state = module.init(jax.random.PRNGKey(0), batch)
+
+    def run(batch):
+        return module.predict(state, batch, 256, 0.1, 0.3)
+
+    # Warmup / compile.
+    out = run(batch)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = run(batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "6-agent BEV det scenes/sec/chip (disco, e2e infer)",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec",
+                "vs_baseline": round(
+                    scenes_per_sec / REFERENCE_GPU_SCENES_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Train-module smoke tests: loss decreases, fusion modes step, seg/mIoU.
+
+Module-level tests per SURVEY.md §4: tiny grid (32x32), A=2, few steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from v2x_sim_tpu.configs.config import Config, GridConfig
+from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
+from v2x_sim_tpu.train.det_module import DetModule
+from v2x_sim_tpu.train.seg_module import SegModule
+from v2x_sim_tpu.utils.seg_metrics import iou_from_confusion
+
+CFG = Config(
+    grid=GridConfig(voxel_size=(2.0, 2.0, 1.25), area_extents=((-32, 32), (-32, 32), (-3, 2))),
+    num_agents=2,
+)
+SPEC = SyntheticSpec(
+    num_vehicles=4, points_per_agent=512, max_gt=8, points_per_vehicle=32
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    raw = generate_batch(CFG, SPEC, batch_size=1, seed=5)
+    return {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+
+
+def test_det_loss_decreases(batch):
+    mod = DetModule(CFG, mode="lowerbound", learning_rate=2e-3)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+    _, m0 = mod.train_step(state, prepared)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    for _ in range(25):
+        state, m = mod.train_step(state, prepared)
+    assert float(m["loss"]) < 0.5 * float(m0["loss"])
+
+
+@pytest.mark.parametrize("mode", ["mean", "disco", "v2v", "when2com", "upperbound"])
+def test_det_modes_step_and_predict(batch, mode):
+    mod = DetModule(CFG, mode=mode, learning_rate=1e-3)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+    state, m = mod.train_step(state, prepared)
+    assert np.isfinite(float(m["loss"]))
+    res = mod.predict(state, prepared, 16, 0.1, 0.0)
+    assert res.boxes.shape[-2:] == (16, 5)
+    assert np.isfinite(np.asarray(res.boxes)).all()
+
+
+def test_det_kd_distillation_runs(batch):
+    mod = DetModule(CFG, mode="disco", kd_weight=10.0)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    teacher_vars = mod.teacher.init(
+        jax.random.PRNGKey(1),
+        mod.merged_occupancy(
+            batch["points"], batch["point_mask"], batch["trans"], batch["agent_mask"]
+        ),
+        train=False,
+    )
+    prepared = mod.prepare_batch(batch)
+    state, m = mod.train_step(state, prepared, teacher_vars)
+    assert "kd_loss" in m and np.isfinite(float(m["kd_loss"]))
+
+
+def test_seg_overfits_and_miou(batch):
+    mod = SegModule(CFG, mode="lowerbound", learning_rate=3e-3)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+    _, m0 = mod.train_step(state, prepared)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    for _ in range(30):
+        state, m = mod.train_step(state, prepared)
+    assert float(m["loss"]) < float(m0["loss"])
+    pred, cm = mod.eval_step(state, prepared)
+    assert pred.shape == (1, CFG.num_agents) + CFG.grid.bev_shape
+    metrics = iou_from_confusion(np.asarray(cm))
+    assert 0.0 <= metrics["miou"] <= 1.0
+
+
+def test_seg_fusion_mode_steps(batch):
+    mod = SegModule(CFG, mode="disco")
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+    state, m = mod.train_step(state, prepared)
+    assert np.isfinite(float(m["loss"]))

@@ -108,9 +108,14 @@ def assign_targets(
         best_gt = jax.lax.dynamic_update_slice(best_gt, new_gt, (r0, c0, 0))
         return (best_iou, best_gt), None
 
+    # Derive zero-valued carries from the (possibly device-varying) GT
+    # inputs so the scan carry has the same varying-manual-axes type as
+    # its updates under shard_map (jax vma rule); XLA folds the no-op.
+    vzero_f = (gt_boxes[0, 0] * 0).astype(anchors.dtype)
+    vzero_i = (gt_mask[0] * 0).astype(jnp.int32)
     init = (
-        jnp.zeros((h, w, k), dtype=anchors.dtype),
-        jnp.full((h, w, k), -1, dtype=jnp.int32),
+        jnp.zeros((h, w, k), dtype=anchors.dtype) + vzero_f,
+        jnp.full((h, w, k), -1, dtype=jnp.int32) + vzero_i,
     )
     (best_iou, best_gt), _ = jax.lax.scan(
         body, init, (gt_boxes, gt_mask, jnp.arange(m, dtype=jnp.int32))

@@ -1,0 +1,81 @@
+"""MOT evaluation: MOTA / MOTP / IDF1-style metrics.
+
+Replacement for the reference's vendored TrackEval dependency
+(/root/reference/README.md:111; SURVEY.md §2.2): the CLEAR-MOT metrics
+(MOTA, MOTP) plus ID switches, computed directly with the framework's
+exact rotated IoU and Hungarian matching. Host-side post-hoc pipeline,
+like the reference's.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+import jax.numpy as jnp
+
+from v2x_sim_tpu.ops.iou import rotated_iou_matrix
+
+
+def evaluate_mot(
+    gt_frames: List[np.ndarray],
+    trk_frames: List[np.ndarray],
+    iou_threshold: float = 0.5,
+) -> Dict[str, float]:
+    """CLEAR-MOT over one sequence.
+
+    Args:
+      gt_frames: per frame (G, 6) [x, y, l, w, yaw, gt_id].
+      trk_frames: per frame (T, 6) [x, y, l, w, yaw, track_id].
+      iou_threshold: match acceptance threshold.
+
+    Returns:
+      {"mota", "motp", "id_switches", "misses", "false_positives",
+       "num_gt", "matches"}.
+    """
+    assert len(gt_frames) == len(trk_frames)
+    misses = fps = idsw = matches = num_gt = 0
+    motp_sum = 0.0
+    last_match: Dict[int, int] = {}  # gt_id -> track_id from previous frames
+
+    for gt, trk in zip(gt_frames, trk_frames):
+        gt = np.asarray(gt).reshape(-1, 6)
+        trk = np.asarray(trk).reshape(-1, 6)
+        num_gt += len(gt)
+        if len(gt) == 0:
+            fps += len(trk)
+            continue
+        if len(trk) == 0:
+            misses += len(gt)
+            continue
+        iou = np.asarray(
+            rotated_iou_matrix(jnp.asarray(gt[:, :5]), jnp.asarray(trk[:, :5]))
+        )
+        rows, cols = linear_sum_assignment(-iou)
+        matched_g, matched_t = set(), set()
+        for r, c in zip(rows, cols):
+            if iou[r, c] >= iou_threshold:
+                gid, tid = int(gt[r, 5]), int(trk[c, 5])
+                if gid in last_match and last_match[gid] != tid:
+                    idsw += 1
+                last_match[gid] = tid
+                matches += 1
+                motp_sum += iou[r, c]
+                matched_g.add(r)
+                matched_t.add(c)
+        misses += len(gt) - len(matched_g)
+        fps += len(trk) - len(matched_t)
+
+    mota = 1.0 - (misses + fps + idsw) / max(num_gt, 1)
+    motp = motp_sum / max(matches, 1)
+    return {
+        "mota": float(mota),
+        "motp": float(motp),
+        "id_switches": float(idsw),
+        "misses": float(misses),
+        "false_positives": float(fps),
+        "num_gt": float(num_gt),
+        "matches": float(matches),
+    }

@@ -2,22 +2,30 @@
 
 Analogs of the reference's `SoftmaxFocalClassificationLoss` and
 `WeightedSmoothL1LocalizationLoss` († coperception/utils/loss.py,
-SURVEY.md §2.1), plus pixel cross-entropy for segmentation. All are pure
-jnp functions over dense masked targets — no dynamic shapes.
+SURVEY.md §2.1), plus pixel cross-entropy for segmentation.
+
+Every loss comes in a `*_sum` form returning (sum, normalizer-count) so
+the task modules can normalize by the GLOBAL count under data
+parallelism: the counts are psum'd across the mesh before dividing, and
+gradients are then psum'd (not pmean'd) — which makes an N-way DP step
+bitwise-equivalent in expectation to the single-device step on the full
+batch (see tests/test_parallel.py).
 """
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+from typing import Tuple
+
 import jax
+import jax.numpy as jnp
 
 
-def softmax_focal_loss(
+def softmax_focal_loss_sum(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     gamma: float = 2.0,
     alpha: float = 0.25,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Softmax focal loss over anchor classification.
 
     Args:
@@ -27,7 +35,9 @@ def softmax_focal_loss(
       alpha: positive-class balance weight.
 
     Returns:
-      Scalar mean loss over non-ignored anchors.
+      (loss_sum, num_positive) — normalize by the positive count
+      (RetinaNet convention): with ~10^5 anchors and tens of positives,
+      normalizing by total anchors would dilute the foreground gradient.
     """
     c = logits.shape[-1]
     ignore = labels < 0
@@ -39,16 +49,16 @@ def softmax_focal_loss(
     alpha_t = jnp.where(safe_labels > 0, alpha, 1.0 - alpha)
     loss = -alpha_t * (1.0 - pt) ** gamma * pt_log
     weight = (~ignore).astype(logits.dtype)
-    denom = jnp.maximum(jnp.sum(weight), 1.0)
-    return jnp.sum(loss * weight) / denom
+    num_pos = jnp.sum((labels > 0).astype(logits.dtype))
+    return jnp.sum(loss * weight), num_pos
 
 
-def smooth_l1_loss(
+def smooth_l1_loss_sum(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     mask: jnp.ndarray,
     delta: float = 1.0,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Masked smooth-L1 (Huber) localization loss.
 
     Args:
@@ -57,34 +67,57 @@ def smooth_l1_loss(
       mask: (..., K) 1.0 where the anchor is positive.
 
     Returns:
-      Scalar loss, normalized by positive-anchor count.
+      (loss_sum, num_positive).
     """
     diff = jnp.abs(pred - target)
-    loss = jnp.where(
-        diff < delta, 0.5 * diff * diff / delta, diff - 0.5 * delta
-    )
+    loss = jnp.where(diff < delta, 0.5 * diff * diff / delta, diff - 0.5 * delta)
     loss = jnp.sum(loss, axis=-1) * mask
-    denom = jnp.maximum(jnp.sum(mask), 1.0)
-    return jnp.sum(loss) / denom
+    return jnp.sum(loss), jnp.sum(mask)
 
 
-def seg_cross_entropy(
+def seg_cross_entropy_sum(
     logits: jnp.ndarray, labels: jnp.ndarray, num_classes: int
-) -> jnp.ndarray:
-    """Per-pixel softmax cross-entropy for BEV semantic segmentation.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel softmax cross-entropy; labels < 0 are ignored.
 
-    Args:
-      logits: (..., H, W, C).
-      labels: (..., H, W) int32 class ids; negatives are ignored.
-    """
+    Returns (loss_sum, valid_pixel_count)."""
     ignore = labels < 0
     safe = jnp.clip(labels, 0, num_classes - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     weight = (~ignore).astype(logits.dtype)
-    return jnp.sum(nll * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+    return jnp.sum(nll * weight), jnp.sum(weight)
 
 
-def kd_mse_loss(student: jnp.ndarray, teacher: jnp.ndarray) -> jnp.ndarray:
-    """Feature-map knowledge distillation (DiscoNet student vs TeacherNet)."""
-    return jnp.mean((student - teacher) ** 2)
+def kd_mse_loss_sum(
+    student: jnp.ndarray, teacher: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Feature-map distillation MSE (DiscoNet student vs TeacherNet).
+
+    Returns (squared_error_sum, element_count)."""
+    return (
+        jnp.sum((student - teacher) ** 2),
+        jnp.asarray(student.size, student.dtype),
+    )
+
+
+def _norm(pair: Tuple[jnp.ndarray, jnp.ndarray]) -> jnp.ndarray:
+    s, n = pair
+    return s / jnp.maximum(n, 1.0)
+
+
+# Mean-normalized convenience wrappers (single-device semantics).
+def softmax_focal_loss(logits, labels, gamma=2.0, alpha=0.25):
+    return _norm(softmax_focal_loss_sum(logits, labels, gamma, alpha))
+
+
+def smooth_l1_loss(pred, target, mask, delta=1.0):
+    return _norm(smooth_l1_loss_sum(pred, target, mask, delta))
+
+
+def seg_cross_entropy(logits, labels, num_classes):
+    return _norm(seg_cross_entropy_sum(logits, labels, num_classes))
+
+
+def kd_mse_loss(student, teacher):
+    return _norm(kd_mse_loss_sum(student, teacher))

@@ -1,0 +1,127 @@
+"""mAP evaluation for rotated BEV detections.
+
+Analog of the reference's mmdetection-derived evaluator
+(† coperception/utils/mean_ap.py: `eval_map`/`tpfp_default`/
+`average_precision`, SURVEY.md §2.1): VOC-style greedy TP/FP matching at
+rotated IoU 0.5 / 0.7, area-mode AP integration, reported per-agent
+("local") and averaged ("global").
+
+Split of labor: the (F, K, M) IoU tensor is computed on device in one
+static-shape batched call (ops.iou); the greedy match + PR integration is
+a cheap exact host loop — scoring stays bit-stable and shapely-free.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from v2x_sim_tpu.ops.iou import rotated_iou_matrix
+
+
+def average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
+    """Area under the PR curve (mmdet 'area' mode)."""
+    mrec = np.concatenate([[0.0], recalls, [1.0]])
+    mpre = np.concatenate([[0.0], precisions, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.nonzero(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def _batched_iou(det_boxes: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
+    """(F, K, 5) x (F, M, 5) -> (F, K, M) IoU, one compiled call."""
+    fn = jax.jit(jax.vmap(rotated_iou_matrix))
+    return np.asarray(fn(jnp.asarray(det_boxes), jnp.asarray(gt_boxes)))
+
+
+def eval_map(
+    det_boxes: np.ndarray,
+    det_scores: np.ndarray,
+    det_valid: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_mask: np.ndarray,
+    iou_threshold: float = 0.5,
+) -> float:
+    """Single-class AP over F frames of padded detections/GT.
+
+    Args:
+      det_boxes: (F, K, 5); det_scores: (F, K); det_valid: (F, K) bool.
+      gt_boxes: (F, M, 5); gt_mask: (F, M) bool.
+      iou_threshold: rotated-IoU match threshold (0.5 or 0.7).
+
+    Returns:
+      AP in [0, 1].
+    """
+    f = det_boxes.shape[0]
+    iou = _batched_iou(det_boxes, gt_boxes)
+    num_gt = int(gt_mask.sum())
+    if num_gt == 0:
+        return 0.0
+
+    records = []  # (score, is_tp)
+    for fi in range(f):
+        order = np.argsort(-det_scores[fi])
+        matched = np.zeros(gt_boxes.shape[1], bool)
+        for di in order:
+            if not det_valid[fi, di]:
+                continue
+            ious = np.where(gt_mask[fi] & ~matched, iou[fi, di], -1.0)
+            gi = int(np.argmax(ious))
+            if ious[gi] >= iou_threshold:
+                matched[gi] = True
+                records.append((det_scores[fi, di], 1))
+            else:
+                records.append((det_scores[fi, di], 0))
+
+    if not records:
+        return 0.0
+    records.sort(key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records])
+    fp = np.cumsum([1 - r[1] for r in records])
+    recalls = tp / num_gt
+    precisions = tp / np.maximum(tp + fp, 1)
+    return average_precision(recalls, precisions)
+
+
+def eval_map_agents(
+    det_boxes: np.ndarray,
+    det_scores: np.ndarray,
+    det_valid: np.ndarray,
+    gt_boxes: np.ndarray,
+    gt_mask: np.ndarray,
+    agent_mask: np.ndarray,
+    iou_thresholds: Sequence[float] = (0.5, 0.7),
+) -> Dict[str, float]:
+    """Per-agent ("local") and averaged ("global") mAP, reference-style.
+
+    Args:
+      det_boxes: (F, A, K, 5) etc.; agent_mask: (F, A).
+
+    Returns:
+      {"mAP@0.5": ..., "mAP@0.7": ..., "agent{i}_mAP@0.5": ...}.
+    """
+    f, a = det_boxes.shape[:2]
+    out: Dict[str, float] = {}
+    for thr in iou_thresholds:
+        per_agent = []
+        for ai in range(a):
+            keep = agent_mask[:, ai]
+            if not keep.any():
+                continue
+            ap = eval_map(
+                det_boxes[keep, ai],
+                det_scores[keep, ai],
+                det_valid[keep, ai],
+                gt_boxes[keep, ai],
+                gt_mask[keep, ai],
+                thr,
+            )
+            per_agent.append(ap)
+            out[f"agent{ai}_mAP@{thr}"] = ap
+        out[f"mAP@{thr}"] = float(np.mean(per_agent)) if per_agent else 0.0
+    return out
