@@ -1,0 +1,63 @@
+"""Offline preprocessed .npz frame cache.
+
+TPU-native analog of the reference's offline `.npy` farm
+(`{split}/agent{k}/{scene}_{frame}/0.npy`, /root/reference/README.md:66-79;
+† coperception/tools/det/create_data_det.py): tools.create_data_det writes
+one compressed .npz per frame holding the full multi-agent Scene dict
+(all agents together — no per-agent file fan-out), and this reader streams
+them back. Unlike the reference, the cache is an optional accelerator:
+training can also read the nuScenes-format source directly
+(datasets.nuscenes) or run on synthetic scenes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+FRAME_KEYS = (
+    "points",
+    "point_mask",
+    "trans",
+    "agent_mask",
+    "gt_boxes",
+    "gt_mask",
+)
+
+
+def save_frame(cache_dir: str, name: str, frame: Dict[str, np.ndarray]) -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{name}.npz")
+    np.savez_compressed(path, **{k: frame[k] for k in frame})
+    return path
+
+
+class NpzCacheDataset:
+    """Streams frames from a create_data cache directory."""
+
+    def __init__(self, cache_dir: str):
+        self.cache_dir = cache_dir
+        self.files: List[str] = sorted(
+            os.path.join(cache_dir, f)
+            for f in os.listdir(cache_dir)
+            if f.endswith(".npz")
+        )
+        if not self.files:
+            raise FileNotFoundError(f"no .npz frames under {cache_dir}")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        with np.load(self.files[idx]) as z:
+            return {k: z[k] for k in z.files}
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(i)] for i in order[start : start + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}

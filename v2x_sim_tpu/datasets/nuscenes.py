@@ -1,0 +1,272 @@
+"""nuScenes-format V2X-Sim dataset reader (devkit-free).
+
+The V2X-Sim dataset ships in nuScenes format with per-agent lidar
+channels ``LIDAR_TOP_id_{k}`` (/root/reference/README.md:54-63): JSON
+tables scene / sample / sample_data / sample_annotation / ego_pose /
+calibrated_sensor linked by tokens, plus ``.pcd.bin`` float32 sweeps.
+The reference parses it with the external nuscenes-devkit
+(† coperception/datasets/NuscenesDataset.py, tools/det/create_data_det.py
+— SURVEY.md §2.1/§3.1); this module is a self-contained replacement:
+
+  * `NuScenesTables` — loads the JSON tables once into token-keyed dicts
+    and builds the scene -> ordered samples -> per-agent sample_data
+    index.
+  * `V2XSimFrame` extraction — per (sample, agent): padded points in the
+    agent's sensor frame, the full pairwise T_{i<-j} transform stack, and
+    GT vehicle boxes per agent frame; i.e. the same Scene pytree contract
+    the synthetic generator emits, so training code is agnostic to the
+    source.
+
+Everything here is host-side indexing + numpy IO; voxelization and target
+assignment stay on-device downstream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from v2x_sim_tpu.configs.config import Config
+
+TABLE_NAMES = (
+    "scene",
+    "sample",
+    "sample_data",
+    "ego_pose",
+    "calibrated_sensor",
+    "sample_annotation",
+    "sensor",
+    "category",
+    "instance",
+)
+
+#: nuScenes .pcd.bin layout: x, y, z, intensity, ring (float32 each).
+PCD_FLOATS = 5
+
+VEHICLE_CATEGORY_PREFIX = "vehicle"
+
+
+def quat_to_yaw(q: Sequence[float]) -> float:
+    """Heading from a nuScenes [w, x, y, z] quaternion."""
+    w, x, y, z = q
+    return float(np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z)))
+
+
+def pose_matrix(translation: Sequence[float], rotation: Sequence[float]) -> np.ndarray:
+    """4x4 transform from [w,x,y,z] quaternion + translation."""
+    w, x, y, z = rotation
+    r = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    t = np.eye(4)
+    t[:3, :3] = r
+    t[:3, 3] = translation
+    return t
+
+
+class NuScenesTables:
+    """Token-indexed nuScenes tables + the V2X multi-agent frame index."""
+
+    def __init__(self, dataroot: str, version: str = "v1.0-mini"):
+        self.dataroot = dataroot
+        self.version = version
+        base = os.path.join(dataroot, version)
+        self.tables: Dict[str, Dict[str, dict]] = {}
+        for name in TABLE_NAMES:
+            path = os.path.join(base, f"{name}.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    rows = json.load(f)
+                self.tables[name] = {r["token"]: r for r in rows}
+            else:
+                self.tables[name] = {}
+
+        self._category_name = {
+            t: r["name"] for t, r in self.tables["category"].items()
+        }
+        self._instance_category = {
+            t: r["category_token"] for t, r in self.tables["instance"].items()
+        }
+        self._build_index()
+
+    # ------------------------------------------------------------------ #
+
+    def _build_index(self) -> None:
+        """scene -> ordered sample tokens; sample -> {agent_id: sample_data}."""
+        self.scene_samples: Dict[str, List[str]] = {}
+        for token, scene in self.tables["scene"].items():
+            order = []
+            cur = scene["first_sample_token"]
+            while cur:
+                order.append(cur)
+                cur = self.tables["sample"][cur]["next"]
+            self.scene_samples[token] = order
+
+        self.sample_lidars: Dict[str, Dict[int, dict]] = {}
+        for sd in self.tables["sample_data"].values():
+            channel = sd.get("channel")
+            if channel is None:
+                cs = self.tables["calibrated_sensor"][sd["calibrated_sensor_token"]]
+                sensor = self.tables["sensor"].get(cs["sensor_token"], {})
+                channel = sensor.get("channel", "")
+            if not channel.startswith("LIDAR_TOP_id_"):
+                continue
+            if not sd.get("is_key_frame", True):
+                continue
+            agent_id = int(channel.rsplit("_", 1)[1])
+            self.sample_lidars.setdefault(sd["sample_token"], {})[agent_id] = sd
+
+        self.sample_annotations: Dict[str, List[dict]] = {}
+        for ann in self.tables["sample_annotation"].values():
+            self.sample_annotations.setdefault(ann["sample_token"], []).append(ann)
+
+    # ------------------------------------------------------------------ #
+
+    def global_from_sensor(self, sd: dict) -> np.ndarray:
+        """4x4: sensor frame -> global frame for one sample_data row."""
+        ego_pose = self.tables["ego_pose"][sd["ego_pose_token"]]
+        cs = self.tables["calibrated_sensor"][sd["calibrated_sensor_token"]]
+        g_from_e = pose_matrix(ego_pose["translation"], ego_pose["rotation"])
+        e_from_s = pose_matrix(cs["translation"], cs["rotation"])
+        return g_from_e @ e_from_s
+
+    def load_points(self, sd: dict) -> np.ndarray:
+        """Read a .pcd.bin sweep -> (N, 4) x, y, z, intensity (sensor frame)."""
+        path = os.path.join(self.dataroot, sd["filename"])
+        raw = np.fromfile(path, dtype=np.float32)
+        cols = PCD_FLOATS if raw.size % PCD_FLOATS == 0 else 4
+        return raw.reshape(-1, cols)[:, :4]
+
+    def is_vehicle(self, ann: dict) -> bool:
+        cat_token = self._instance_category.get(ann["instance_token"])
+        name = self._category_name.get(cat_token, ann.get("category_name", ""))
+        return name.startswith(VEHICLE_CATEGORY_PREFIX)
+
+    def global_boxes(self, sample_token: str) -> np.ndarray:
+        """GT vehicle boxes for a sample, global frame: (M, 5) x,y,l,w,yaw.
+
+        nuScenes size is [width, length, height]; heading along length.
+        """
+        out = []
+        for ann in self.sample_annotations.get(sample_token, []):
+            if not self.is_vehicle(ann):
+                continue
+            w, l = ann["size"][0], ann["size"][1]
+            yaw = quat_to_yaw(ann["rotation"])
+            out.append([ann["translation"][0], ann["translation"][1], l, w, yaw])
+        return np.asarray(out, np.float64).reshape(-1, 5)
+
+
+class V2XSimDataset:
+    """Multi-agent frame extraction over a nuScenes-format V2X-Sim root.
+
+    Produces the same per-scene dict as datasets.synthetic.generate_scene:
+    padded per-agent points (sensor frame), pairwise trans, per-agent GT
+    boxes, agent mask. The reference materializes this as an offline .npy
+    farm († tools/det/create_data_det.py, README.md:66-79); here it is a
+    streaming reader — the offline cache (tools.create_data) is optional.
+    """
+
+    def __init__(
+        self,
+        dataroot: str,
+        config: Config,
+        version: str = "v1.0-mini",
+        max_points: Optional[int] = None,
+        max_gt: int = 64,
+        use_rsu: bool = True,
+    ):
+        self.nusc = NuScenesTables(dataroot, version)
+        self.config = config
+        self.max_points = max_points or config.max_points
+        self.max_gt = max_gt
+        self.use_rsu = use_rsu
+        self.frames: List[str] = []  # sample tokens with >=1 agent lidar
+        for scene_token, samples in self.nusc.scene_samples.items():
+            for s in samples:
+                if s in self.nusc.sample_lidars:
+                    self.frames.append(s)
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        sample_token = self.frames[idx]
+        a = self.config.num_agents
+        p = self.max_points
+        m = self.max_gt
+        lidars = self.nusc.sample_lidars[sample_token]
+
+        points = np.zeros((a, p, 3), np.float32)
+        point_mask = np.zeros((a, p), bool)
+        agent_mask = np.zeros(a, bool)
+        g_from_s = np.tile(np.eye(4), (a, 1, 1))
+
+        for agent_id, sd in lidars.items():
+            if agent_id >= a or (agent_id == 0 and not self.use_rsu):
+                continue
+            pts = self.nusc.load_points(sd)[: p, :3]
+            points[agent_id, : len(pts)] = pts
+            point_mask[agent_id, : len(pts)] = True
+            agent_mask[agent_id] = True
+            g_from_s[agent_id] = self.nusc.global_from_sensor(sd)
+
+        s_from_g = np.linalg.inv(g_from_s)
+        # trans[i, j] = T_{i<-j} = sensor_i_from_global @ global_from_sensor_j
+        trans = np.einsum("iab,jbc->ijac", s_from_g, g_from_s)
+
+        gboxes = self.nusc.global_boxes(sample_token)
+        gt_boxes = np.zeros((a, m, 5), np.float32)
+        gt_mask = np.zeros((a, m), bool)
+        (x0, x1), (y0, y1) = (
+            self.config.grid.area_extents[0],
+            self.config.grid.area_extents[1],
+        )
+        for i in range(a):
+            if not agent_mask[i] or len(gboxes) == 0:
+                continue
+            hom = np.concatenate(
+                [gboxes[:, :2], np.zeros((len(gboxes), 1)), np.ones((len(gboxes), 1))],
+                -1,
+            )
+            local_xy = (s_from_g[i] @ hom.T).T[:, :2]
+            sensor_yaw = np.arctan2(g_from_s[i][1, 0], g_from_s[i][0, 0])
+            local_yaw = gboxes[:, 4] - sensor_yaw
+            local = np.stack(
+                [local_xy[:, 0], local_xy[:, 1], gboxes[:, 2], gboxes[:, 3], local_yaw],
+                -1,
+            )
+            inside = (
+                (local[:, 0] > x0)
+                & (local[:, 0] < x1)
+                & (local[:, 1] > y0)
+                & (local[:, 1] < y1)
+            )
+            sel = np.nonzero(inside)[0][:m]
+            gt_boxes[i, : len(sel)] = local[sel]
+            gt_mask[i, : len(sel)] = True
+
+        return {
+            "points": points,
+            "point_mask": point_mask,
+            "trans": trans.astype(np.float32),
+            "agent_mask": agent_mask,
+            "gt_boxes": gt_boxes,
+            "gt_mask": gt_mask,
+        }
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        """Yield stacked batches (host numpy) over the whole index."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self[int(i)] for i in order[start : start + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}

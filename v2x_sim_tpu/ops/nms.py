@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from v2x_sim_tpu.ops.iou import rotated_iou_matrix
+from v2x_sim_tpu.ops.iou_sh import rotated_iou_matrix
 
 NEG_INF = -1e9
 

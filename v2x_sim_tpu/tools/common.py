@@ -1,0 +1,116 @@
+"""Shared CLI plumbing for the tools layer.
+
+Keeps the reference's flag surface (`--com`, `--layer`, `--kd_flag`,
+`--rsu`, `--warp_flag`, `--resume`, ... — † coperception/tools/*,
+SURVEY.md §2.2) so users of the reference find the same switches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from v2x_sim_tpu.configs.config import Config, GridConfig
+
+#: reference --com spellings -> internal mode names.
+COM_ALIASES = {
+    "none": "lowerbound",
+    "lowerbound": "lowerbound",
+    "upperbound": "upperbound",
+    "when2com": "when2com",
+    "who2com": "who2com",
+    "v2v": "v2v",
+    "v2vnet": "v2v",
+    "disco": "disco",
+    "disconet": "disco",
+    "sum": "sum",
+    "mean": "mean",
+    "max": "max",
+    "cat": "cat",
+    "agent": "agent",
+}
+
+
+def force_cpu_if_requested(args) -> None:
+    """--cpu reroutes jax off the TPU tunnel (see .claude/skills/verify)."""
+    if getattr(args, "cpu", False):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--data",
+        default="synthetic",
+        help="nuScenes-format V2X-Sim root, .npz cache dir from "
+        "create_data, or 'synthetic'",
+    )
+    p.add_argument(
+        "--com",
+        default="lowerbound",
+        choices=sorted(COM_ALIASES),
+        help="collaboration strategy (reference --com)",
+    )
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--layer", type=int, default=3, help="fusion encoder stage")
+    p.add_argument("--rsu", type=int, default=1, help="include the RSU agent")
+    p.add_argument("--warp_flag", type=int, default=1)
+    p.add_argument("--logpath", default="runs/default")
+    p.add_argument("--resume", default="", help="checkpoint path to resume")
+    p.add_argument("--cpu", action="store_true", help="run on local CPU")
+    p.add_argument(
+        "--grid",
+        default="full",
+        choices=["full", "small"],
+        help="small = 64x64 BEV for CPU smoke runs",
+    )
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_config(args) -> Config:
+    if args.grid == "small":
+        grid = GridConfig(voxel_size=(1.0, 1.0, 0.625))
+    else:
+        grid = GridConfig()
+    return Config(grid=grid, fusion_layer=args.layer)
+
+
+def resolve_mode(args) -> str:
+    return COM_ALIASES[args.com]
+
+
+def make_batches(args, config: Config, split_seed: int = 0, num_batches: int = 8):
+    """Yield host batches from synthetic data, an .npz cache, or a
+    nuScenes-format root."""
+    import numpy as np
+
+    from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
+
+    if args.data == "synthetic":
+        spec = SyntheticSpec(
+            points_per_agent=2048 if args.grid == "small" else 8192
+        )
+        for i in range(num_batches):
+            yield generate_batch(
+                config, spec, args.batch, seed=args.seed + split_seed + i
+            )
+    elif os.path.isdir(os.path.join(args.data, "v1.0-mini")) or any(
+        d.startswith("v1.0") for d in os.listdir(args.data)
+    ):
+        from v2x_sim_tpu.datasets.nuscenes import V2XSimDataset
+
+        version = next(
+            d for d in sorted(os.listdir(args.data)) if d.startswith("v1.0")
+        )
+        ds = V2XSimDataset(
+            args.data, config, version=version, use_rsu=bool(args.rsu)
+        )
+        yield from ds.batches(args.batch, shuffle=True, seed=args.seed)
+    else:
+        from v2x_sim_tpu.datasets.cache import NpzCacheDataset
+
+        ds = NpzCacheDataset(args.data)
+        yield from ds.batches(args.batch, shuffle=True, seed=args.seed)

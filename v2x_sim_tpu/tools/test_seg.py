@@ -1,0 +1,66 @@
+"""Segmentation evaluation CLI (analog of † coperception/tools/seg/test_seg.py):
+loads a checkpoint, accumulates the confusion matrix, prints per-class IoU
+and mIoU."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    from v2x_sim_tpu.tools.common import add_common_args
+
+    add_common_args(p)
+    p.add_argument("--num_batches", type=int, default=4)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from v2x_sim_tpu.tools.common import (
+        build_config,
+        force_cpu_if_requested,
+        make_batches,
+        resolve_mode,
+    )
+
+    force_cpu_if_requested(args)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2x_sim_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from v2x_sim_tpu.train.seg_module import SegModule
+    from v2x_sim_tpu.utils.seg_metrics import iou_from_confusion
+
+    config = build_config(args)
+    module = SegModule(config, mode=resolve_mode(args))
+
+    state = None
+    cm_total = np.zeros(
+        (config.num_seg_classes, config.num_seg_classes), np.int64
+    )
+    for raw in make_batches(
+        args, config, split_seed=777_000, num_batches=args.num_batches
+    ):
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+        if state is None:
+            state = module.init(jax.random.PRNGKey(0), batch)
+            path = args.resume if args.resume != "auto" else latest_checkpoint(args.logpath)
+            if path:
+                state = restore_checkpoint(path, state)
+                print(f"loaded checkpoint {path}")
+        _, cm = module.eval_step(state, module.prepare_batch(batch))
+        cm_total += np.asarray(cm)
+
+    metrics = iou_from_confusion(cm_total)
+    names = config.seg_class_names
+    out = {names[i]: round(metrics[f"iou_class{i}"], 4) for i in range(len(names))}
+    out["miou"] = round(metrics["miou"], 4)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

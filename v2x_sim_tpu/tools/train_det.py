@@ -1,0 +1,146 @@
+"""Detection training CLI.
+
+Analog of † coperception/tools/det/train_codet.py (SURVEY.md §2.2/§3.2):
+`python -m v2x_sim_tpu.tools.train_det --com disco --kd_flag 1 ...`
+with the reference's flag names, Adam, per-epoch checkpoints, and a
+log.txt in the run directory — plus structured JSONL metrics and
+scenes/sec tracking (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    from v2x_sim_tpu.tools.common import add_common_args
+
+    add_common_args(p)
+    p.add_argument("--nepoch", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--kd_flag", type=int, default=0)
+    p.add_argument("--kd_weight", type=float, default=1e5)
+    p.add_argument(
+        "--teacher", default="", help="checkpoint of the early-fusion teacher"
+    )
+    p.add_argument("--MGDA", dest="mgda", action="store_true")
+    p.add_argument("--batches_per_epoch", type=int, default=8)
+    p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=single)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from v2x_sim_tpu.tools.common import (
+        build_config,
+        force_cpu_if_requested,
+        make_batches,
+        resolve_mode,
+    )
+
+    force_cpu_if_requested(args)
+    import jax
+    import jax.numpy as jnp
+
+    from v2x_sim_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from v2x_sim_tpu.train.det_module import DetModule
+    from v2x_sim_tpu.utils.meters import RunLogger, StepTimer
+
+    config = build_config(args)
+    mode = resolve_mode(args)
+    kd_weight = args.kd_weight if args.kd_flag else 0.0
+
+    logger = RunLogger(args.logpath)
+    logger.log(f"train_det mode={mode} grid={config.grid.grid_shape} args={vars(args)}")
+
+    dp = args.dp
+    axis = None
+    mesh = None
+    if dp:
+        from v2x_sim_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+        axis = DATA_AXIS
+        mesh = make_mesh(num_devices=dp)
+
+    module = DetModule(
+        config,
+        mode=mode,
+        learning_rate=args.lr,
+        kd_weight=kd_weight,
+        mgda=args.mgda,
+        axis_name=axis,
+    )
+
+    first = next(make_batches(args, config, num_batches=1))
+    first = {k: jnp.asarray(v) for k, v in first.items() if k != "visible"}
+    state = module.init(jax.random.PRNGKey(args.seed), first)
+
+    teacher_vars = None
+    if kd_weight > 0.0:
+        t_occ = module.merged_occupancy(
+            first["points"], first["point_mask"], first["trans"], first["agent_mask"]
+        )
+        teacher_vars = module.teacher.init(
+            jax.random.PRNGKey(args.seed + 1), t_occ, train=False
+        )
+        if args.teacher:
+            teacher_vars = restore_checkpoint(args.teacher, teacher_vars)
+            logger.log(f"loaded teacher from {args.teacher}")
+
+    start_epoch = 0
+    if args.resume:
+        path = args.resume if args.resume != "auto" else latest_checkpoint(args.logpath)
+        if path:
+            state = restore_checkpoint(path, state)
+            start_epoch = int(state.step) // args.batches_per_epoch
+            logger.log(f"resumed from {path} at epoch {start_epoch}")
+
+    train_step = module.train_step
+    prepare = module.prepare_batch
+    if mesh is not None:
+        from v2x_sim_tpu.parallel.mesh import (
+            make_parallel_prepare,
+            make_parallel_train_step,
+            replicate,
+            shard_batch,
+        )
+
+        state = replicate(state, mesh)
+        train_step = make_parallel_train_step(module, mesh)
+        prepare = make_parallel_prepare(module, mesh)
+
+    timer = StepTimer(scenes_per_step=args.batch)
+    for epoch in range(start_epoch, args.nepoch):
+        for bi, raw in enumerate(
+            make_batches(args, config, split_seed=epoch * 1000, num_batches=args.batches_per_epoch)
+        ):
+            batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            prepared = prepare(batch)
+            if kd_weight > 0.0:
+                state, metrics = train_step(state, prepared, teacher_vars)
+            else:
+                state, metrics = train_step(state, prepared)
+            rate = timer.tick()
+            vals = {k: float(v) for k, v in metrics.items()}
+            if rate:
+                vals["scenes_per_sec"] = rate
+            logger.metrics(int(state.step), vals)
+        logger.log(
+            f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
+        )
+        ckpt = save_checkpoint(args.logpath, state, epoch)
+        logger.log(f"saved {ckpt}")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

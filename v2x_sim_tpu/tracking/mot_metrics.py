@@ -14,9 +14,7 @@ from typing import Dict, List
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-import jax.numpy as jnp
-
-from v2x_sim_tpu.ops.iou import rotated_iou_matrix
+from v2x_sim_tpu.ops.iou_host import rotated_iou_matrix_np
 
 
 def evaluate_mot(
@@ -50,9 +48,7 @@ def evaluate_mot(
         if len(trk) == 0:
             misses += len(gt)
             continue
-        iou = np.asarray(
-            rotated_iou_matrix(jnp.asarray(gt[:, :5]), jnp.asarray(trk[:, :5]))
-        )
+        iou = rotated_iou_matrix_np(gt[:, :5], trk[:, :5])
         rows, cols = linear_sum_assignment(-iou)
         matched_g, matched_t = set(), set()
         for r, c in zip(rows, cols):

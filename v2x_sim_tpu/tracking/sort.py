@@ -24,15 +24,7 @@ from typing import Dict, List
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-import jax.numpy as jnp
-
-from v2x_sim_tpu.ops.iou import rotated_iou_matrix
-
-
-def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)), np.float32)
-    return np.asarray(rotated_iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+from v2x_sim_tpu.ops.iou_host import rotated_iou_matrix_np as _iou_matrix
 
 
 @dataclasses.dataclass

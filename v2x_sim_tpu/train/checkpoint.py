@@ -1,0 +1,55 @@
+"""Checkpoint save / restore via orbax.
+
+Analog of the reference's per-epoch `torch.save(epoch_{e}.pth)` +
+`--resume` reload († coperception/tools/det/train_codet.py, SURVEY.md §5
+"Checkpoint / resume"), upgraded to orbax: atomic directory checkpoints
+of the full TrainState pytree (params, BN stats, optimizer state, step),
+restorable onto any device layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int) -> str:
+    """Write `<ckpt_dir>/epoch_<step>` atomically. Returns the path."""
+    path = os.path.abspath(os.path.join(ckpt_dir, f"epoch_{step}"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    # Pull to host so the checkpoint is layout-independent.
+    host_state = jax.tree.map(np.asarray, state)
+    _checkpointer().save(path, host_state, force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Most recent epoch_<n> directory, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    best_n = -1
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("epoch_"):
+            try:
+                n = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if n > best_n:
+                best_n, best = n, os.path.join(ckpt_dir, name)
+    return os.path.abspath(best) if best else None
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore a checkpoint into the structure of `target`."""
+    restored = _checkpointer().restore(os.path.abspath(path), item=target)
+    return jax.tree.map(lambda t, r: jax.numpy.asarray(r), target, restored)

@@ -65,12 +65,14 @@ class DetModule:
         mode: str = "lowerbound",
         learning_rate: float = 1e-3,
         kd_weight: float = 0.0,
+        mgda: bool = False,
         axis_name: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
     ):
         self.config = config
         self.mode = mode
         self.kd_weight = kd_weight
+        self.mgda = mgda
         self.axis_name = axis_name
         self.compute_dtype = compute_dtype
         self.model = DetModel(
@@ -82,7 +84,8 @@ class DetModule:
         # Jitted entry points. The raw *_impl methods stay undecorated so
         # parallel.mesh can wrap them in shard_map before jitting.
         self.prepare_batch = jax.jit(self._prepare_batch_impl)
-        self.train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        step_impl = self._train_step_mgda_impl if mgda else self._train_step_impl
+        self.train_step = jax.jit(step_impl, donate_argnums=0)
         self.predict = jax.jit(self._predict_impl, static_argnums=(2, 3, 4))
 
     # ------------------------------------------------------------------ #
@@ -257,6 +260,46 @@ class DetModule:
             metrics = jax.lax.psum(metrics, self.axis_name)
             new_stats = jax.lax.pmean(new_stats, self.axis_name)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params, new_stats, opt_state, state.step + 1),
+            metrics,
+        )
+
+    def _train_step_mgda_impl(self, state: TrainState, batch, teacher_vars=None):
+        """MGDA step: per-task backward passes + min-norm combination
+        (reference `--MGDA` path in FaFModule; SURVEY.md §2.1)."""
+        from v2x_sim_tpu.utils.mgda import mgda_grads
+
+        task_keys = ["cls_loss", "loc_loss"]
+        if self.kd_weight > 0.0 and teacher_vars is not None:
+            task_keys.append("kd_loss")
+
+        def task_fn(params, key):
+            _, (stats, metrics) = self.loss_fn(
+                params, state.batch_stats, batch, teacher_vars, True
+            )
+            return metrics[key], (stats, metrics)
+
+        grads = []
+        new_stats = state.batch_stats
+        metrics = {}
+        for key in task_keys:
+            g, (new_stats, metrics) = jax.grad(task_fn, has_aux=True)(
+                state.params, key
+            )
+            if self.axis_name is not None:
+                g = jax.lax.psum(g, self.axis_name)
+            grads.append(g)
+        combined, weights = mgda_grads(grads)
+        if self.axis_name is not None:
+            metrics = jax.lax.psum(metrics, self.axis_name)
+            new_stats = jax.lax.pmean(new_stats, self.axis_name)
+        for i, key in enumerate(task_keys):
+            metrics[f"mgda_w_{key}"] = weights[i]
+        updates, opt_state = self.tx.update(
+            combined, state.opt_state, state.params
+        )
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params, new_stats, opt_state, state.step + 1),
