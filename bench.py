@@ -42,7 +42,8 @@ def main() -> None:
     raw = generate_batch(cfg, spec, batch_size=BATCH, seed=0)
     batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
 
-    module = DetModule(cfg, mode="disco")
+    # bfloat16 activations: MXU fast path; params stay float32.
+    module = DetModule(cfg, mode="disco", compute_dtype=jnp.bfloat16)
     state = module.init(jax.random.PRNGKey(0), batch)
 
     def run(batch):

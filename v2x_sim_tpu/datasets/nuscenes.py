@@ -209,14 +209,22 @@ class V2XSimDataset:
         agent_mask = np.zeros(a, bool)
         g_from_s = np.tile(np.eye(4), (a, 1, 1))
 
+        paths, slots = [], []
         for agent_id, sd in lidars.items():
             if agent_id >= a or (agent_id == 0 and not self.use_rsu):
                 continue
-            pts = self.nusc.load_points(sd)[: p, :3]
-            points[agent_id, : len(pts)] = pts
-            point_mask[agent_id, : len(pts)] = True
+            paths.append(os.path.join(self.nusc.dataroot, sd["filename"]))
+            slots.append(agent_id)
             agent_mask[agent_id] = True
             g_from_s[agent_id] = self.nusc.global_from_sensor(sd)
+        if paths:
+            # Threaded native reader (v2x_sim_tpu.native.loader); falls
+            # back to numpy transparently.
+            from v2x_sim_tpu.native.loader import read_pcd_batch
+
+            pts, msk = read_pcd_batch(paths, max_points=p)
+            points[slots] = pts
+            point_mask[slots] = msk
 
         s_from_g = np.linalg.inv(g_from_s)
         # trans[i, j] = T_{i<-j} = sensor_i_from_global @ global_from_sensor_j

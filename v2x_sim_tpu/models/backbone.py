@@ -19,7 +19,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,6 +28,10 @@ import jax
 #: Encoder channel plan per stage (stage 0 is stride-1 stem).
 STAGE_CHANNELS: Tuple[int, ...] = (32, 64, 128, 256, 512)
 
+#: Activation dtype (params stay float32). bfloat16 keeps the convs on
+#: the MXU's fast path; heads cast back to float32 for the losses.
+Dtype = Any
+
 
 class ConvBlock(nn.Module):
     """Two 3x3 conv + BN + ReLU layers; optional stride-2 on the first."""
@@ -35,15 +39,27 @@ class ConvBlock(nn.Module):
     features: int
     stride: int = 1
     axis_name: Optional[str] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         for i, s in enumerate((self.stride, 1)):
-            x = nn.Conv(self.features, (3, 3), strides=(s, s), use_bias=False)(x)
+            # Explicit pad-1 (torch convention) rather than "SAME":
+            # identical at stride 1, but one pixel shifted at stride 2 —
+            # required for reference-checkpoint parity (SURVEY.md §7).
+            x = nn.Conv(
+                self.features,
+                (3, 3),
+                strides=(s, s),
+                padding=((1, 1), (1, 1)),
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         return x
@@ -53,14 +69,20 @@ class STPNEncoder(nn.Module):
     """Pyramid encoder: returns all 5 stage outputs (highest res first)."""
 
     axis_name: Optional[str] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Sequence[jnp.ndarray]:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         feats = []
         for i, ch in enumerate(STAGE_CHANNELS):
-            x = ConvBlock(ch, stride=1 if i == 0 else 2, axis_name=self.axis_name)(
-                x, train
-            )
+            x = ConvBlock(
+                ch,
+                stride=1 if i == 0 else 2,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+            )(x, train)
             feats.append(x)
         return feats
 
@@ -69,6 +91,7 @@ class STPNDecoder(nn.Module):
     """Decoder with skip connections back to stage-0 resolution."""
 
     axis_name: Optional[str] = None
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool) -> jnp.ndarray:
@@ -78,8 +101,10 @@ class STPNDecoder(nn.Module):
             x = jax.image.resize(
                 x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
             )
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = ConvBlock(skip.shape[-1], axis_name=self.axis_name)(x, train)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ConvBlock(
+                skip.shape[-1], axis_name=self.axis_name, dtype=self.dtype
+            )(x, train)
         return x  # (..., H, W, 32)
 
 
@@ -88,12 +113,14 @@ class ClassificationHead(nn.Module):
 
     num_anchors: int
     num_classes: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(32, (3, 3))(x)
+        x = nn.Conv(32, (3, 3), dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_anchors * self.num_classes, (1, 1))(x)
+        x = nn.Conv(self.num_anchors * self.num_classes, (1, 1), dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         return x.reshape(x.shape[:-1] + (self.num_anchors, self.num_classes))
 
 
@@ -102,12 +129,16 @@ class RegressionHead(nn.Module):
 
     num_anchors: int
     box_code_size: int = 6
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(32, (3, 3))(x)
+        x = nn.Conv(32, (3, 3), dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_anchors * self.box_code_size, (1, 1))(x)
+        x = nn.Conv(
+            self.num_anchors * self.box_code_size, (1, 1), dtype=self.dtype
+        )(x)
+        x = x.astype(jnp.float32)
         return x.reshape(x.shape[:-1] + (self.num_anchors, self.box_code_size))
 
 

@@ -19,16 +19,17 @@ class ConvGRUCell(nn.Module):
 
     features: int
     kernel: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         k = (self.kernel, self.kernel)
         hx = jnp.concatenate([h, x], axis=-1)
         # One conv computes both update and reset gates (fused MXU matmul).
-        zr = nn.Conv(2 * self.features, k, name="gates")(hx)
+        zr = nn.Conv(2 * self.features, k, name="gates", dtype=self.dtype)(hx)
         z, r = jnp.split(nn.sigmoid(zr), 2, axis=-1)
         cand = nn.Conv(
-            self.features, k, name="candidate"
+            self.features, k, name="candidate", dtype=self.dtype
         )(jnp.concatenate([r * h, x], axis=-1))
         n = jnp.tanh(cand)
         return (1.0 - z) * h + z * n

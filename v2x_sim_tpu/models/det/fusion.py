@@ -68,13 +68,14 @@ class CatFusion(nn.Module):
     """
 
     grid: GridConfig
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, trans, mask, train: bool = True):
         b, a, h, w, c = feats.shape
         warped = warp_neighbors(feats, trans, mask, self.grid)
         x = jnp.moveaxis(warped, 2, -2).reshape(b, a, h, w, a * c)
-        return nn.relu(nn.Conv(c, (1, 1), name="compress")(x))
+        return nn.relu(nn.Conv(c, (1, 1), name="compress", dtype=self.dtype)(x))
 
 
 class AgentWiseWeightedFusion(nn.Module):
@@ -82,6 +83,7 @@ class AgentWiseWeightedFusion(nn.Module):
     pair from globally-pooled pair features, softmaxed over sources."""
 
     grid: GridConfig
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, trans, mask, train: bool = True):
@@ -91,9 +93,9 @@ class AgentWiseWeightedFusion(nn.Module):
         pooled = jnp.mean(
             jnp.concatenate([ego, warped], axis=-1), axis=(3, 4)
         )  # (B, Ai, Aj, 2C)
-        s = nn.Dense(32, name="score_hidden")(pooled)
+        s = nn.Dense(32, name="score_hidden", dtype=self.dtype)(pooled)
         s = nn.relu(s)
-        s = nn.Dense(1, name="score")(s)[..., 0]  # (B, Ai, Aj)
+        s = nn.Dense(1, name="score", dtype=self.dtype)(s)[..., 0]  # (B, Ai, Aj)
         s = jnp.where(mask[:, None, :], s, NEG_INF)
         attn = nn.softmax(s, axis=-1)
         return jnp.einsum("baj,bajhwc->bahwc", attn, warped)
@@ -106,15 +108,16 @@ class DiscoFusion(nn.Module):
     softmax across sources, weighted sum."""
 
     grid: GridConfig
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, trans, mask, train: bool = True):
         warped = warp_neighbors(feats, trans, mask, self.grid)
         ego = jnp.broadcast_to(feats[:, :, None], warped.shape)
         pair = jnp.concatenate([ego, warped], axis=-1)
-        s = nn.Conv(32, (1, 1), name="edge_hidden")(pair)
+        s = nn.Conv(32, (1, 1), name="edge_hidden", dtype=self.dtype)(pair)
         s = nn.relu(s)
-        s = nn.Conv(1, (1, 1), name="edge_score")(s)  # (B, Ai, Aj, h, w, 1)
+        s = nn.Conv(1, (1, 1), name="edge_score", dtype=self.dtype)(s)  # (B, Ai, Aj, h, w, 1)
         s = jnp.where(_src_mask(mask), s, NEG_INF)
         attn = nn.softmax(s, axis=2)
         return jnp.sum(attn * warped, axis=2)

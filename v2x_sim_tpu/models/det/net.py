@@ -71,30 +71,33 @@ class DetModel(nn.Module):
     fusion_layer: Optional[int] = None  # default: config.fusion_layer
     kd: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None  # activation dtype (e.g. bfloat16)
 
     def setup(self):
         assert self.mode in MODES, f"unknown mode {self.mode}"
-        self.encoder = STPNEncoder(axis_name=self.axis_name)
-        self.decoder = STPNDecoder(axis_name=self.axis_name)
+        self.encoder = STPNEncoder(axis_name=self.axis_name, dtype=self.dtype)
+        self.decoder = STPNDecoder(axis_name=self.axis_name, dtype=self.dtype)
         self.cls_head = ClassificationHead(
-            self.config.anchors.num_anchors, self.config.num_classes
+            self.config.anchors.num_anchors, self.config.num_classes,
+            dtype=self.dtype,
         )
         self.reg_head = RegressionHead(
-            self.config.anchors.num_anchors, self.config.anchors.box_code_size
+            self.config.anchors.num_anchors, self.config.anchors.box_code_size,
+            dtype=self.dtype,
         )
         grid = self.config.grid
         if self.mode == "cat":
-            self.fusion = F.CatFusion(grid)
+            self.fusion = F.CatFusion(grid, dtype=self.dtype)
         elif self.mode == "agent":
-            self.fusion = F.AgentWiseWeightedFusion(grid)
+            self.fusion = F.AgentWiseWeightedFusion(grid, dtype=self.dtype)
         elif self.mode == "disco":
-            self.fusion = F.DiscoFusion(grid)
+            self.fusion = F.DiscoFusion(grid, dtype=self.dtype)
         elif self.mode == "when2com":
-            self.fusion = When2comFusion(grid, argmax_mode=False)
+            self.fusion = When2comFusion(grid, argmax_mode=False, dtype=self.dtype)
         elif self.mode == "who2com":
-            self.fusion = When2comFusion(grid, argmax_mode=True)
+            self.fusion = When2comFusion(grid, argmax_mode=True, dtype=self.dtype)
         elif self.mode == "v2v":
-            self.fusion = V2VNetFusion(grid)
+            self.fusion = V2VNetFusion(grid, dtype=self.dtype)
         else:
             self.fusion = None
 
@@ -151,6 +154,7 @@ class TeacherModel(nn.Module):
     config: Config
     fusion_layer: Optional[int] = None
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -163,13 +167,15 @@ class TeacherModel(nn.Module):
             else self.fusion_layer
         )
         x = fold_agents(occupancy)
-        feats = STPNEncoder(axis_name=self.axis_name)(x, train)
-        decoded = STPNDecoder(axis_name=self.axis_name)(feats, train)
+        feats = STPNEncoder(axis_name=self.axis_name, dtype=self.dtype)(x, train)
+        decoded = STPNDecoder(axis_name=self.axis_name, dtype=self.dtype)(feats, train)
         cls = ClassificationHead(
-            self.config.anchors.num_anchors, self.config.num_classes
+            self.config.anchors.num_anchors, self.config.num_classes,
+            dtype=self.dtype,
         )(decoded)
         reg = RegressionHead(
-            self.config.anchors.num_anchors, self.config.anchors.box_code_size
+            self.config.anchors.num_anchors, self.config.anchors.box_code_size,
+            dtype=self.dtype,
         )(decoded)
         return DetOutput(
             unfold_agents(cls, a), unfold_agents(reg, a), unfold_agents(feats[k], a)

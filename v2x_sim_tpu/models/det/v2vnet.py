@@ -27,13 +27,14 @@ class V2VNetFusion(nn.Module):
 
     grid: GridConfig
     rounds: int = 3  # VERIFY vs reference († V2VNet.py message rounds)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, trans, mask, train: bool = True):
         b, a, h, w, c = feats.shape
-        gru = ConvGRUCell(features=c, name="conv_gru")
-        msg_conv1 = nn.Conv(c, (3, 3), name="msg_hidden")
-        msg_conv2 = nn.Conv(c, (3, 3), name="msg_out")
+        gru = ConvGRUCell(features=c, name="conv_gru", dtype=self.dtype)
+        msg_conv1 = nn.Conv(c, (3, 3), name="msg_hidden", dtype=self.dtype)
+        msg_conv2 = nn.Conv(c, (3, 3), name="msg_out", dtype=self.dtype)
 
         not_self = (1.0 - jnp.eye(a, dtype=feats.dtype))[None, :, :, None, None, None]
         valid_src = mask[:, None, :, None, None, None].astype(feats.dtype)

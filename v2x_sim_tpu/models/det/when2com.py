@@ -29,14 +29,19 @@ KEY_DIM = 256
 class QueryKeyNet(nn.Module):
     """Conv stack pooling a BEV feature map to (query, key) vectors."""
 
+    dtype: object = None
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool):
         for ch in (64, 128, 256):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2))(x)
+            x = nn.Conv(
+                ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                dtype=self.dtype,
+            )(x)
             x = nn.relu(x)
         v = jnp.mean(x, axis=(-3, -2))  # global average pool
-        query = nn.Dense(QUERY_DIM, name="query_proj")(v)
-        key = nn.Dense(KEY_DIM, name="key_proj")(v)
+        query = nn.Dense(QUERY_DIM, name="query_proj", dtype=self.dtype)(v)
+        key = nn.Dense(KEY_DIM, name="key_proj", dtype=self.dtype)(v)
         return query, key
 
 
@@ -58,17 +63,18 @@ class When2comFusion(nn.Module):
     argmax_mode: bool = False
     threshold: bool = True
     warp_flag: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, trans, mask, train: bool = True):
         b, a, h, w, c = feats.shape
-        q, k = QueryKeyNet(name="query_key_net")(
+        q, k = QueryKeyNet(name="query_key_net", dtype=self.dtype)(
             feats.reshape(b * a, h, w, c), train
         )
         q = q.reshape(b, a, -1)
         k = k.reshape(b, a, -1)
         # General dot-product attention: score_ij = q_i^T W k_j.
-        wk = nn.Dense(QUERY_DIM, use_bias=False, name="attn_w")(k)
+        wk = nn.Dense(QUERY_DIM, use_bias=False, name="attn_w", dtype=self.dtype)(k)
         scores = jnp.einsum("biq,bjq->bij", q, wk) / jnp.sqrt(
             jnp.asarray(QUERY_DIM, feats.dtype)
         )

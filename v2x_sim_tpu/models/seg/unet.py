@@ -34,15 +34,17 @@ BOTTLENECK = 512
 class DoubleConv(nn.Module):
     features: int
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(2):
-            x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
+            x = nn.Conv(self.features, (3, 3), use_bias=False, dtype=self.dtype)(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 axis_name=self.axis_name if train else None,
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         return x
@@ -60,33 +62,36 @@ class SegModel(nn.Module):
     config: Config
     mode: str = "lowerbound"
     axis_name: Optional[str] = None
+    dtype: Optional[object] = None
 
     def setup(self):
         self.downs = [
-            DoubleConv(ch, axis_name=self.axis_name, name=f"down{i}")
+            DoubleConv(ch, axis_name=self.axis_name, dtype=self.dtype, name=f"down{i}")
             for i, ch in enumerate(UNET_CHANNELS)
         ]
         self.bottleneck = DoubleConv(
-            BOTTLENECK, axis_name=self.axis_name, name="bottleneck"
+            BOTTLENECK, axis_name=self.axis_name, dtype=self.dtype, name="bottleneck"
         )
         self.ups = [
-            DoubleConv(ch, axis_name=self.axis_name, name=f"up{i}")
+            DoubleConv(ch, axis_name=self.axis_name, dtype=self.dtype, name=f"up{i}")
             for i, ch in enumerate(reversed(UNET_CHANNELS))
         ]
-        self.head = nn.Conv(self.config.num_seg_classes, (1, 1), name="head")
+        self.head = nn.Conv(
+            self.config.num_seg_classes, (1, 1), dtype=self.dtype, name="head"
+        )
         grid = self.config.grid
         if self.mode == "cat":
-            self.fusion = F.CatFusion(grid)
+            self.fusion = F.CatFusion(grid, dtype=self.dtype)
         elif self.mode == "agent":
-            self.fusion = F.AgentWiseWeightedFusion(grid)
+            self.fusion = F.AgentWiseWeightedFusion(grid, dtype=self.dtype)
         elif self.mode == "disco":
-            self.fusion = F.DiscoFusion(grid)
+            self.fusion = F.DiscoFusion(grid, dtype=self.dtype)
         elif self.mode == "when2com":
-            self.fusion = When2comFusion(grid, argmax_mode=False)
+            self.fusion = When2comFusion(grid, argmax_mode=False, dtype=self.dtype)
         elif self.mode == "who2com":
-            self.fusion = When2comFusion(grid, argmax_mode=True)
+            self.fusion = When2comFusion(grid, argmax_mode=True, dtype=self.dtype)
         elif self.mode == "v2v":
-            self.fusion = V2VNetFusion(grid)
+            self.fusion = V2VNetFusion(grid, dtype=self.dtype)
         else:
             self.fusion = None
 
@@ -103,6 +108,8 @@ class SegModel(nn.Module):
     def __call__(self, occupancy, trans, agent_mask, train: bool = True):
         a = occupancy.shape[1]
         x = fold_agents(occupancy)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         skips = []
         for down in self.downs:
             x = down(x, train)
@@ -121,4 +128,4 @@ class SegModel(nn.Module):
             )
             x = jnp.concatenate([x, skip], axis=-1)
             x = up(x, train)
-        return SegOutput(unfold_agents(self.head(x), a))
+        return SegOutput(unfold_agents(self.head(x).astype(jnp.float32), a))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.ops.boxes import encode_boxes
-from v2x_sim_tpu.ops.iou import rotated_iou
+from v2x_sim_tpu.ops.iou_sh import rotated_iou
 
 #: Side length (cells) of the local anchor window examined per GT box.
 #: Covers boxes with (gt_diag + anchor_diag)/2 up to WIN/2 * voxel cells.

@@ -75,10 +75,19 @@ class DetModule:
         self.mgda = mgda
         self.axis_name = axis_name
         self.compute_dtype = compute_dtype
+        model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         self.model = DetModel(
-            config=config, mode=mode, kd=kd_weight > 0.0, axis_name=axis_name
+            config=config,
+            mode=mode,
+            kd=kd_weight > 0.0,
+            axis_name=axis_name,
+            dtype=model_dtype,
         )
-        self.teacher = TeacherModel(config=config) if kd_weight > 0.0 else None
+        self.teacher = (
+            TeacherModel(config=config, dtype=model_dtype)
+            if kd_weight > 0.0
+            else None
+        )
         self.anchors = jnp.asarray(anchor_grid(config))
         self.tx = optax.adam(learning_rate)
         # Jitted entry points. The raw *_impl methods stay undecorated so

@@ -32,11 +32,15 @@ class SegModule:
         mode: str = "lowerbound",
         learning_rate: float = 1e-3,
         axis_name: Optional[str] = None,
+        compute_dtype: jnp.dtype = jnp.float32,
     ):
         self.config = config
         self.mode = mode
         self.axis_name = axis_name
-        self.model = SegModel(config=config, mode=mode, axis_name=axis_name)
+        model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
+        self.model = SegModel(
+            config=config, mode=mode, axis_name=axis_name, dtype=model_dtype
+        )
         self.tx = optax.adam(learning_rate)
         self.prepare_batch = jax.jit(self._prepare_batch_impl)
         self.train_step = jax.jit(self._train_step_impl, donate_argnums=0)

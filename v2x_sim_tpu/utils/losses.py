@@ -95,9 +95,11 @@ def kd_mse_loss_sum(
     """Feature-map distillation MSE (DiscoNet student vs TeacherNet).
 
     Returns (squared_error_sum, element_count)."""
+    student = student.astype(jnp.float32)
+    teacher = teacher.astype(jnp.float32)
     return (
         jnp.sum((student - teacher) ** 2),
-        jnp.asarray(student.size, student.dtype),
+        jnp.asarray(student.size, jnp.float32),
     )
 
 
