@@ -1,0 +1,61 @@
+# Canonical run recipes, mirroring the reference's per-task Makefiles
+# († coperception/tools/{det,seg,track}/Makefile — SURVEY.md §2.2).
+# Variables: COM (strategy), DATA (dataset root/cache or 'synthetic'),
+# LOG (run dir), EPOCHS.
+
+COM    ?= disco
+DATA   ?= synthetic
+LOG    ?= runs/$(COM)
+EPOCHS ?= 100
+FLAGS  ?=
+
+.PHONY: test bench create_data train_det test_det train_seg test_seg track \
+        train_det_all smoke native
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+native:
+	python -c "from v2x_sim_tpu.native.loader import native_available; \
+	           assert native_available(); print('libv2xloader.so OK')"
+
+create_data:
+	python -m v2x_sim_tpu.tools.create_data_det --root $(DATA) --savepath cache
+
+train_det:
+	python -m v2x_sim_tpu.tools.train_det --data $(DATA) --com $(COM) \
+	    --nepoch $(EPOCHS) --logpath $(LOG) $(FLAGS)
+
+test_det:
+	python -m v2x_sim_tpu.tools.test_det --data $(DATA) --com $(COM) \
+	    --resume auto --logpath $(LOG) --save_dets $(LOG)/dets $(FLAGS)
+
+train_seg:
+	python -m v2x_sim_tpu.tools.train_seg --data $(DATA) --com $(COM) \
+	    --nepoch $(EPOCHS) --logpath $(LOG)-seg $(FLAGS)
+
+test_seg:
+	python -m v2x_sim_tpu.tools.test_seg --data $(DATA) --com $(COM) \
+	    --resume auto --logpath $(LOG)-seg $(FLAGS)
+
+track: test_det
+	python -m v2x_sim_tpu.tools.track --dets $(LOG)/dets
+
+# Train every collaboration mode (the reference benchmark sweep).
+train_det_all:
+	for com in lowerbound upperbound sum mean max cat agent \
+	           when2com who2com v2v disco; do \
+	    $(MAKE) train_det COM=$$com LOG=runs/$$com || exit 1; \
+	done
+
+# Fast CPU end-to-end sanity (small grid, synthetic).
+smoke:
+	python -m v2x_sim_tpu.tools.train_det --cpu --grid small --com mean \
+	    --nepoch 1 --batches_per_epoch 2 --batch 1 --logpath /tmp/v2x_smoke
+	python -m v2x_sim_tpu.tools.test_det --cpu --grid small --com mean \
+	    --resume auto --logpath /tmp/v2x_smoke --num_batches 1 --batch 1 \
+	    --save_dets /tmp/v2x_smoke/dets
+	python -m v2x_sim_tpu.tools.track --dets /tmp/v2x_smoke/dets

@@ -1,0 +1,105 @@
+"""decode_topk / transform_boxes / late_fuse behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from v2x_sim_tpu.ops.postprocess import late_fuse, transform_boxes
+
+
+def _t(yaw, tx, ty):
+    c, s = np.cos(yaw), np.sin(yaw)
+    m = np.eye(4, dtype=np.float32)
+    m[:2, :2] = [[c, -s], [s, c]]
+    m[0, 3], m[1, 3] = tx, ty
+    return m
+
+
+def test_transform_boxes_rigid():
+    box = jnp.asarray([2.0, 0.0, 4.0, 2.0, 0.3])
+    t = jnp.asarray(_t(np.pi / 2, 1.0, -1.0))
+    out = np.asarray(transform_boxes(box, t))
+    # (2,0) rotated 90deg -> (0,2), plus (1,-1) -> (1,1)
+    np.testing.assert_allclose(out[:2], [1.0, 1.0], atol=1e-5)
+    np.testing.assert_allclose(out[2:4], [4.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(out[4], 0.3 + np.pi / 2, atol=1e-5)
+
+
+def test_transform_roundtrip():
+    rng = np.random.default_rng(0)
+    boxes = np.stack(
+        [
+            rng.uniform(-10, 10, 8),
+            rng.uniform(-10, 10, 8),
+            rng.uniform(2, 5, 8),
+            rng.uniform(1, 2, 8),
+            rng.uniform(-np.pi, np.pi, 8),
+        ],
+        -1,
+    ).astype(np.float32)
+    t = _t(0.7, 3.0, -2.0)
+    back = np.asarray(
+        transform_boxes(
+            transform_boxes(jnp.asarray(boxes), jnp.asarray(t)),
+            jnp.asarray(np.linalg.inv(t).astype(np.float32)),
+        )
+    )
+    np.testing.assert_allclose(back[:, :4], boxes[:, :4], atol=1e-4)
+
+
+def test_late_fuse_recovers_other_agents_box():
+    """Agent 1 detects a box agent 0 missed; after late fusion agent 0
+    has it, expressed in agent 0's frame."""
+    b, a, k = 1, 2, 4
+    boxes = np.zeros((b, a, k, 5), np.float32)
+    scores = np.zeros((b, a, k), np.float32)
+    valid = np.zeros((b, a, k), bool)
+    # Agent 1's detection at (5, 0) in its own frame.
+    boxes[0, 1, 0] = [5.0, 0.0, 4.0, 2.0, 0.0]
+    scores[0, 1, 0] = 0.9
+    valid[0, 1, 0] = True
+    # Agent 1 is at x=+10 in agent 0's frame: T_{0<-1} translates +10.
+    trans = np.tile(np.eye(4, dtype=np.float32), (b, a, a, 1, 1))
+    trans[0, 0, 1] = _t(0.0, 10.0, 0.0)
+    trans[0, 1, 0] = _t(0.0, -10.0, 0.0)
+    agent_mask = np.ones((b, a), bool)
+
+    res = late_fuse(
+        jnp.asarray(boxes),
+        jnp.asarray(scores),
+        jnp.asarray(valid),
+        jnp.asarray(trans),
+        jnp.asarray(agent_mask),
+        0.1,
+    )
+    kept0 = np.asarray(res.boxes[0, 0])[np.asarray(res.valid[0, 0])]
+    assert len(kept0) == 1
+    np.testing.assert_allclose(kept0[0][:2], [15.0, 0.0], atol=1e-4)
+    kept1 = np.asarray(res.boxes[0, 1])[np.asarray(res.valid[0, 1])]
+    np.testing.assert_allclose(kept1[0][:2], [5.0, 0.0], atol=1e-4)
+
+
+def test_late_fuse_deduplicates():
+    """Both agents detect the same physical box -> one survivor per ego."""
+    b, a, k = 1, 2, 2
+    boxes = np.zeros((b, a, k, 5), np.float32)
+    scores = np.zeros((b, a, k), np.float32)
+    valid = np.zeros((b, a, k), bool)
+    boxes[0, 0, 0] = [5.0, 0.0, 4.0, 2.0, 0.0]   # in agent-0 frame
+    boxes[0, 1, 0] = [-5.0, 0.0, 4.0, 2.0, 0.0]  # same box, agent-1 frame
+    scores[0, 0, 0] = 0.8
+    scores[0, 1, 0] = 0.9
+    valid[0, 0, 0] = valid[0, 1, 0] = True
+    trans = np.tile(np.eye(4, dtype=np.float32), (b, a, a, 1, 1))
+    trans[0, 0, 1] = _t(0.0, 10.0, 0.0)
+    trans[0, 1, 0] = _t(0.0, -10.0, 0.0)
+    res = late_fuse(
+        jnp.asarray(boxes),
+        jnp.asarray(scores),
+        jnp.asarray(valid),
+        jnp.asarray(trans),
+        jnp.asarray(np.ones((b, a), bool)),
+        0.1,
+    )
+    assert int(res.valid[0, 0].sum()) == 1
+    # The higher-scoring duplicate (agent 1's) wins.
+    assert float(res.scores[0, 0].max()) > 0.85

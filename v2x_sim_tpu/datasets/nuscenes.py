@@ -182,12 +182,14 @@ class V2XSimDataset:
         max_points: Optional[int] = None,
         max_gt: int = 64,
         use_rsu: bool = True,
+        with_seg_labels: bool = False,
     ):
         self.nusc = NuScenesTables(dataroot, version)
         self.config = config
         self.max_points = max_points or config.max_points
         self.max_gt = max_gt
         self.use_rsu = use_rsu
+        self.with_seg_labels = with_seg_labels
         self.frames: List[str] = []  # sample tokens with >=1 agent lidar
         for scene_token, samples in self.nusc.scene_samples.items():
             for s in samples:
@@ -261,7 +263,7 @@ class V2XSimDataset:
             gt_boxes[i, : len(sel)] = local[sel]
             gt_mask[i, : len(sel)] = True
 
-        return {
+        out = {
             "points": points,
             "point_mask": point_mask,
             "trans": trans.astype(np.float32),
@@ -269,6 +271,20 @@ class V2XSimDataset:
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
         }
+        if self.with_seg_labels:
+            # BEV seg GT from vehicle footprints (map layers join here
+            # when map polygons are available — utils.mapping).
+            from v2x_sim_tpu.utils.mapping import build_seg_labels
+
+            hh, ww = self.config.grid.bev_shape
+            seg = np.zeros((a, hh, ww), np.int32)
+            for i in range(a):
+                if agent_mask[i] and gt_mask[i].any():
+                    seg[i] = build_seg_labels(
+                        self.config, gt_boxes[i][gt_mask[i]]
+                    )
+            out["seg_labels"] = seg
+        return out
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
         """Yield stacked batches (host numpy) over the whole index."""

@@ -5,12 +5,25 @@ SURVEY.md §2.1): IoU-match GT boxes to the dense anchor grid, producing
 classification labels, encoded regression targets, and the regression loss
 mask.
 
-TPU-first design: instead of an all-pairs (H*W*K x M) shapely loop on host,
-we exploit locality — a GT box can only overlap anchors within a small
-window around its center — and `lax.scan` over a *static* max-GT axis,
-updating a dense best-IoU map through windowed dynamic slices. This runs
-on-device inside the streaming input pipeline, or on CPU in offline
-preprocessing, from the same jitted code.
+TPU-first design — dense, regular, gather-light:
+  1. Every BEV cell ranks the (static, padded) GT set by center distance
+     and keeps its top-2 candidates — one (H, W, M) elementwise pass +
+     two masked argmins, no sort.
+  2. Exact rotated IoU runs densely against just those 2 candidates per
+     (cell, anchor): (H, W, K, 2) pairs, pure VPU work.
+  3. Each GT's single best anchor is forced positive through one tiny
+     M-element scatter-max, so no GT is unlearnable.
+
+Two earlier designs (scan+dynamic_update_slice windows; vmapped
+dynamic_slice windows + a 10M-element packed scatter) compiled
+pathologically on TPU — batched gathers/scatters with data-dependent
+offsets are compile- and run-hostile there. Top-2-by-distance is exact
+for the benchmark's box statistics (vehicles whose footprints overlap a
+cell's anchor essentially never have 3+ centers closer than a third
+box's); tests assert parity with a brute-force all-pairs oracle.
+
+Runs on-device inside the streaming input pipeline (prepare_batch), or on
+CPU in offline preprocessing, from the same jitted code.
 """
 
 from __future__ import annotations
@@ -25,9 +38,8 @@ from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.ops.boxes import encode_boxes
 from v2x_sim_tpu.ops.iou_sh import rotated_iou
 
-#: Side length (cells) of the local anchor window examined per GT box.
-#: Covers boxes with (gt_diag + anchor_diag)/2 up to WIN/2 * voxel cells.
-WIN = 48
+#: Candidate GT per cell (by center distance).
+_CANDS = 2
 
 
 class AnchorTargets(NamedTuple):
@@ -66,66 +78,89 @@ def assign_targets(
     """
     h, w, k, _ = anchors.shape
     m = gt_boxes.shape[0]
-    grid = config.grid
     pos_thr = config.anchors.pos_iou_threshold
     neg_thr = config.anchors.neg_iou_threshold
+    dtype = anchors.dtype
 
-    win = min(WIN, h, w)
+    # ---- 1. top-2 GT candidates per cell by center distance ---------- #
+    cell_x = anchors[:, :, 0, 0]  # (H, W): anchor centers == cell centers
+    cell_y = anchors[:, :, 0, 1]
+    dx = cell_x[:, :, None] - gt_boxes[None, None, :, 0]
+    dy = cell_y[:, :, None] - gt_boxes[None, None, :, 1]
+    d2 = dx * dx + dy * dy  # (H, W, M)
+    d2 = jnp.where(gt_mask[None, None, :], d2, jnp.inf)
 
-    def window_start(gt):
-        """Top-left cell of the WIN x WIN window centered on a GT box."""
-        (x0, _), (y0, _) = grid.area_extents[0], grid.area_extents[1]
-        r = jnp.floor((gt[0] - x0) / grid.voxel_size[0]).astype(jnp.int32)
-        c = jnp.floor((gt[1] - y0) / grid.voxel_size[1]).astype(jnp.int32)
-        r0 = jnp.clip(r - win // 2, 0, h - win)
-        c0 = jnp.clip(c - win // 2, 0, w - win)
-        return r0, c0
-
-    def body(state, inp):
-        best_iou, best_gt = state
-        gt, valid, gt_idx = inp
-        r0, c0 = window_start(gt)
-        anc_w = jax.lax.dynamic_slice(anchors, (r0, c0, 0, 0), (win, win, k, 5))
-        iou_w = rotated_iou(
-            jnp.broadcast_to(gt, (win, win, k, 5)), anc_w
-        ) * valid.astype(anchors.dtype)
-        # Force the best-matching anchor of each GT positive (>= pos_thr),
-        # so no GT is unlearnable. Standard practice; the reference achieves
-        # similar coverage via its gt_max_iou bookkeeping.
-        flat = iou_w.reshape(-1)
-        amax = jnp.argmax(flat)
-        bump = jnp.zeros_like(flat).at[amax].set(
-            jnp.where(valid & (flat[amax] > 0.0), pos_thr + 1e-3, 0.0)
-        )
-        iou_w = jnp.maximum(iou_w, bump.reshape(iou_w.shape))
-
-        cur_iou = jax.lax.dynamic_slice(best_iou, (r0, c0, 0), (win, win, k))
-        cur_gt = jax.lax.dynamic_slice(best_gt, (r0, c0, 0), (win, win, k))
-        take = iou_w > cur_iou
-        new_iou = jnp.where(take, iou_w, cur_iou)
-        new_gt = jnp.where(take, gt_idx, cur_gt)
-        best_iou = jax.lax.dynamic_update_slice(best_iou, new_iou, (r0, c0, 0))
-        best_gt = jax.lax.dynamic_update_slice(best_gt, new_gt, (r0, c0, 0))
-        return (best_iou, best_gt), None
-
-    # Derive zero-valued carries from the (possibly device-varying) GT
-    # inputs so the scan carry has the same varying-manual-axes type as
-    # its updates under shard_map (jax vma rule); XLA folds the no-op.
-    vzero_f = (gt_boxes[0, 0] * 0).astype(anchors.dtype)
-    vzero_i = (gt_mask[0] * 0).astype(jnp.int32)
-    init = (
-        jnp.zeros((h, w, k), dtype=anchors.dtype) + vzero_f,
-        jnp.full((h, w, k), -1, dtype=jnp.int32) + vzero_i,
+    c1 = jnp.argmin(d2, axis=-1)  # (H, W)
+    d2_wo1 = jnp.where(
+        jax.nn.one_hot(c1, m, dtype=bool), jnp.inf, d2
     )
-    (best_iou, best_gt), _ = jax.lax.scan(
-        body, init, (gt_boxes, gt_mask, jnp.arange(m, dtype=jnp.int32))
-    )
+    c2 = jnp.argmin(d2_wo1, axis=-1)
+    cands = jnp.stack([c1, c2], axis=-1)  # (H, W, 2)
+    cand_valid = jnp.take_along_axis(
+        jnp.broadcast_to(gt_mask[None, None, :], d2.shape), cands, axis=-1
+    )  # (H, W, 2)
 
+    # ---- 2. exact IoU vs candidates ---------------------------------- #
+    cand_boxes = gt_boxes[cands]  # (H, W, 2, 5)
+    iou = rotated_iou(
+        jnp.broadcast_to(anchors[:, :, :, None, :], (h, w, k, _CANDS, 5)),
+        jnp.broadcast_to(cand_boxes[:, :, None, :, :], (h, w, k, _CANDS, 5)),
+    )  # (H, W, K, 2)
+    iou = iou * cand_valid[:, :, None, :].astype(dtype)
+
+    best_c = jnp.argmax(iou, axis=-1)  # (H, W, K) in {0, 1}
+    best_iou = jnp.take_along_axis(iou, best_c[..., None], axis=-1)[..., 0]
+    best_gt = jnp.take_along_axis(
+        jnp.broadcast_to(cands[:, :, None, :], (h, w, k, _CANDS)),
+        best_c[..., None],
+        axis=-1,
+    )[..., 0]
+
+    # ---- 3. force each GT's best anchor positive ---------------------- #
+    # Best anchor of GT m: the best-IoU anchor shape at the GT's own cell.
+    grid = config.grid
+    (x0, _), (y0, _) = grid.area_extents[0], grid.area_extents[1]
+    gr = jnp.clip(
+        jnp.floor((gt_boxes[:, 0] - x0) / grid.voxel_size[0]).astype(jnp.int32),
+        0,
+        h - 1,
+    )
+    gc = jnp.clip(
+        jnp.floor((gt_boxes[:, 1] - y0) / grid.voxel_size[1]).astype(jnp.int32),
+        0,
+        w - 1,
+    )
+    own_anchors = anchors[gr, gc]  # (M, K, 5)
+    own_iou = rotated_iou(
+        jnp.broadcast_to(gt_boxes[:, None, :], (m, k, 5)), own_anchors
+    )  # (M, K)
+    own_k = jnp.argmax(own_iou, axis=-1)  # (M,)
+    force = gt_mask & (jnp.max(own_iou, axis=-1) > 0.0)
+    flat_idx = jnp.where(force, (gr * w + gc) * k + own_k, h * w * k)
+    forced_iou = (
+        jnp.zeros((h * w * k,), dtype)
+        .at[flat_idx]
+        .max(jnp.where(force, pos_thr + 1e-3, 0.0), mode="drop")
+        .reshape(h, w, k)
+    )
+    forced_gt = (
+        jnp.full((h * w * k,), -1, jnp.int32)
+        .at[flat_idx]
+        .max(jnp.where(force, jnp.arange(m), -1), mode="drop")
+        .reshape(h, w, k)
+    )
+    take_forced = forced_iou > best_iou
+    best_iou = jnp.where(take_forced, forced_iou, best_iou)
+    best_gt = jnp.where(take_forced, forced_gt, best_gt)
+
+    # ---- 4. labels + regression targets ------------------------------- #
     pos = best_iou >= pos_thr
     neg = best_iou < neg_thr
     labels = jnp.where(pos, 1, jnp.where(neg, 0, -1)).astype(jnp.int32)
-    matched = gt_boxes[jnp.clip(best_gt, 0, m - 1)]  # (H, W, K, 5)
+    # Encode non-positive cells against their own anchor (exact zeros) so
+    # degenerate padded GT never reaches the log() in the codec.
+    matched = jnp.where(pos[..., None], gt_boxes[best_gt], anchors)
     reg = encode_boxes(matched, anchors)
-    reg_mask = pos.astype(anchors.dtype)
+    reg_mask = pos.astype(dtype)
     reg = reg * reg_mask[..., None]
     return AnchorTargets(labels, reg, reg_mask, best_iou)

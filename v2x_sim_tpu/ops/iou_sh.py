@@ -28,6 +28,15 @@ from v2x_sim_tpu.ops.boxes import box_area, box_corners
 _EPS = 1e-8
 _SLOTS = 8
 
+#: Static pair-count threshold between the two compaction strategies
+#: (see _clip_halfplane). Overridable for experiments via
+#: V2X_IOU_EINSUM_PAIR_LIMIT.
+import os as _os
+
+EINSUM_PAIR_LIMIT = int(
+    _os.environ.get("V2X_IOU_EINSUM_PAIR_LIMIT", 1 << 20)
+)
+
 
 def _cross(ox, oy, ax, ay, bx, by):
     return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
@@ -64,28 +73,32 @@ def _clip_halfplane(poly, count_in, ax, ay, bx, by):
     in_valid = slots_idx < count_in[..., None]
     emit_vertex = cur_in & in_valid
 
-    # Interleaved candidate stream: [v0, i0, v1, i1, ...] -> (..., 16).
-    sx = jnp.stack([px, ix], axis=-1).reshape(px.shape[:-1] + (2 * _SLOTS,))
-    sy = jnp.stack([py, iy], axis=-1).reshape(py.shape[:-1] + (2 * _SLOTS,))
-    sv = jnp.stack([emit_vertex, crossing], axis=-1).reshape(
-        cur_in.shape[:-1] + (2 * _SLOTS,)
-    )
+    # Two compaction strategies, chosen by STATIC pair count:
+    #  * small: exclusive-prefix-sum one-hot einsum — few ops, fast
+    #    compile and fast on CPU, but materializes a (..., 8, 16)
+    #    temporary (gigabytes at 10^7 pairs).
+    #  * large: fully unrolled (...,)-wide select chains — ~2k cheap
+    #    same-shaped elementwise ops that XLA fuses with no rank-3
+    #    temporaries. (jnp.cumsum is avoided in both: it lowers to
+    #    reduce_window, which crashed the TPU fusion emitter when nested
+    #    under vmap here.)
+    import numpy as _np
 
-    # Order-preserving compaction 16 -> 8 via exclusive-cumsum one-hot.
-    pos = jnp.cumsum(sv.astype(jnp.int32), axis=-1) - sv.astype(jnp.int32)
+    n_pairs = int(_np.prod(px.shape[:-1], dtype=_np.int64))
+    if n_pairs <= EINSUM_PAIR_LIMIT:
+        return _compact_einsum(poly, px, py, ix, iy, emit_vertex, crossing)
+    return _compact_selects(poly, px, py, ix, iy, emit_vertex, crossing)
+
+
+def _interleave(a, b):
+    """(..., 8) x2 -> (..., 16) interleaved [a0, b0, a1, b1, ...]."""
+    return jnp.stack([a, b], axis=-1).reshape(a.shape[:-1] + (2 * _SLOTS,))
+
+
+def _tail_fill(oxs, oys, count):
+    """Duplicate-fill tail slots so padding stays degenerate."""
     slots = jnp.arange(_SLOTS, dtype=jnp.int32)
-    onehot = (
-        (pos[..., None, :] == slots[..., :, None]) & sv[..., None, :]
-    ).astype(poly.dtype)  # (..., 8, 16)
-    ox = jnp.einsum("...kj,...j->...k", onehot, sx)
-    oy = jnp.einsum("...kj,...j->...k", onehot, sy)
-    count = jnp.sum(sv, axis=-1)  # (...,)
-
-    # Duplicate-fill the tail so padding stays degenerate (7-step select
-    # chain on slot slices — no scatters).
-    filled = slots[..., :] < count[..., None]  # (..., 8)
-    oxs = [ox[..., k] for k in range(_SLOTS)]
-    oys = [oy[..., k] for k in range(_SLOTS)]
+    filled = slots < count[..., None]  # (..., 8)
     for k in range(1, _SLOTS):
         oxs[k] = jnp.where(filled[..., k], oxs[k], oxs[k - 1])
         oys[k] = jnp.where(filled[..., k], oys[k], oys[k - 1])
@@ -93,6 +106,51 @@ def _clip_halfplane(poly, count_in, ax, ay, bx, by):
         [jnp.stack(oxs, axis=-1), jnp.stack(oys, axis=-1)], axis=-1
     )
     return out, count
+
+
+def _compact_einsum(poly, px, py, ix, iy, emit_vertex, crossing):
+    sx = _interleave(px, ix)
+    sy = _interleave(py, iy)
+    sv = _interleave(emit_vertex, crossing)
+    tri = jnp.tril(jnp.ones((2 * _SLOTS, 2 * _SLOTS), jnp.float32), k=-1)
+    pos = jnp.einsum("kj,...j->...k", tri, sv.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    slots = jnp.arange(_SLOTS, dtype=jnp.int32)
+    onehot = (
+        (pos[..., None, :] == slots[..., :, None]) & sv[..., None, :]
+    ).astype(poly.dtype)  # (..., 8, 16)
+    ox = jnp.einsum("...kj,...j->...k", onehot, sx)
+    oy = jnp.einsum("...kj,...j->...k", onehot, sy)
+    count = jnp.sum(sv, axis=-1)
+    oxs = [ox[..., k] for k in range(_SLOTS)]
+    oys = [oy[..., k] for k in range(_SLOTS)]
+    return _tail_fill(oxs, oys, count)
+
+
+def _compact_selects(poly, px, py, ix, iy, emit_vertex, crossing):
+    stream = []  # (value_x, value_y, valid) per stream slot, (...,) each
+    for j in range(_SLOTS):
+        stream.append((px[..., j], py[..., j], emit_vertex[..., j]))
+        stream.append((ix[..., j], iy[..., j], crossing[..., j]))
+
+    running = jnp.zeros(px.shape[:-1], jnp.int32)
+    positions = []
+    for (_, _, v) in stream:
+        positions.append(running)
+        running = running + v.astype(jnp.int32)
+    count = running
+
+    # Order-preserving compaction: out[k] = stream value whose exclusive
+    # position == k. 16x8 unrolled selects.
+    oxs = [jnp.zeros(px.shape[:-1], poly.dtype) for _ in range(_SLOTS)]
+    oys = [jnp.zeros(px.shape[:-1], poly.dtype) for _ in range(_SLOTS)]
+    for (vx, vy, v), pos in zip(stream, positions):
+        for k in range(_SLOTS):
+            hit = v & (pos == k)
+            oxs[k] = jnp.where(hit, vx, oxs[k])
+            oys[k] = jnp.where(hit, vy, oys[k])
+    return _tail_fill(oxs, oys, count)
 
 
 def _poly_area(poly):
@@ -116,20 +174,16 @@ def quad_intersection_area(ca, cb):
     return jnp.where(count >= 3, area, 0.0)
 
 
-def _orient_ccw(corners):
-    """Ensure CCW orientation (flip if the signed area is negative)."""
-    x, y = corners[..., 0], corners[..., 1]
-    nx = jnp.roll(x, -1, axis=-1)
-    ny = jnp.roll(y, -1, axis=-1)
-    signed = jnp.sum(x * ny - nx * y, axis=-1)
-    flipped = corners[..., ::-1, :]
-    return jnp.where((signed >= 0)[..., None, None], corners, flipped)
-
-
 def rotated_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise exact IoU of (..., 5) rotated-box arrays (broadcast)."""
+    """Elementwise exact IoU of (..., 5) rotated-box arrays (broadcast).
+
+    box_corners emits CCW corners for positive (l, w) — all boxes in this
+    framework — so no orientation fix-up is needed. (An explicit
+    `[..., ::-1, :]` reorientation was removed: the reverse op tickles a
+    TPU fusion-emitter CHECK crash when fused into large graphs.)
+    """
     ca = box_corners(boxes_a)
-    cb = _orient_ccw(box_corners(boxes_b))
+    cb = box_corners(boxes_b)
     inter = quad_intersection_area(ca, cb)
     union = box_area(boxes_a) + box_area(boxes_b) - inter
     return inter / jnp.maximum(union, _EPS)

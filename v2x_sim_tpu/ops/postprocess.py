@@ -1,0 +1,132 @@
+"""Prediction decoding and cross-agent late fusion.
+
+Analog of † coperception/utils/postprocess.py + detection_util.py
+(SURVEY.md §2.1): logits -> scores, delta decode vs anchors, rotated NMS,
+plus the late-fusion mode of the reference's test tool (merge per-agent
+boxes into each ego frame and re-suppress). Shared by the task module's
+predict path and the CLI tools; everything static-shape and on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from v2x_sim_tpu.ops.boxes import decode_boxes
+from v2x_sim_tpu.ops.nms import NMSResult, batched_nms
+
+
+def decode_topk(
+    cls_logits: jnp.ndarray,
+    reg: jnp.ndarray,
+    anchors: jnp.ndarray,
+    k: int,
+    score_threshold: float,
+    agent_mask: jnp.ndarray,
+    exact: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-K score selection + box decode.
+
+    Args:
+      cls_logits: (B, A, H, W, K_anchor, C).
+      reg: (B, A, H, W, K_anchor, 6).
+      anchors: (H, W, K_anchor, 5) dense anchor grid.
+      k: candidates kept per agent.
+      score_threshold: validity cutoff on the foreground probability.
+      agent_mask: (B, A).
+      exact: use exact top_k (a full sort on TPU) instead of the
+        hardware-accelerated `approx_max_k` (recall ~0.99; downstream NMS
+        + the score threshold make the difference unmeasurable in mAP).
+
+    Returns:
+      boxes (B, A, k, 5), scores (B, A, k), valid (B, A, k).
+    """
+    b, a = cls_logits.shape[:2]
+    probs = jax.nn.softmax(cls_logits, axis=-1)[..., 1]
+    scores = probs.reshape(b, a, -1)
+    codes = reg.reshape(b, a, -1, 6)
+    flat_anchors = anchors.reshape(1, 1, -1, 5)
+
+    if exact:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+    else:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            scores, k, recall_target=0.99
+        )
+    top_codes = jnp.take_along_axis(codes, top_idx[..., None], axis=2)
+    top_anchors = jnp.take_along_axis(
+        jnp.broadcast_to(flat_anchors, (b, a) + flat_anchors.shape[2:]),
+        top_idx[..., None],
+        axis=2,
+    )
+    boxes = decode_boxes(top_codes, top_anchors)
+    valid = (top_scores > score_threshold) & agent_mask[..., None]
+    return boxes, top_scores, valid
+
+
+def transform_boxes(boxes: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Apply a rigid 4x4 transform to (..., 5) BEV boxes.
+
+    Centers move through the full transform; yaw shifts by the
+    transform's planar rotation angle; sizes are invariant.
+    """
+    x, y = boxes[..., 0], boxes[..., 1]
+    nx = t[..., 0, 0] * x + t[..., 0, 1] * y + t[..., 0, 3]
+    ny = t[..., 1, 0] * x + t[..., 1, 1] * y + t[..., 1, 3]
+    dyaw = jnp.arctan2(t[..., 1, 0], t[..., 0, 0])
+    return jnp.stack(
+        [nx, ny, boxes[..., 2], boxes[..., 3], boxes[..., 4] + dyaw], axis=-1
+    )
+
+
+def late_fuse(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    trans: jnp.ndarray,
+    agent_mask: jnp.ndarray,
+    nms_iou: float = 0.1,
+    max_out: int = 0,
+) -> NMSResult:
+    """Late fusion: merge every agent's detections into each ego frame.
+
+    The reference's test-time late-fusion mode (SURVEY.md §2.2
+    test_codet): per ego agent i, transform all agents' boxes through
+    T_{i<-j}, pool them, and run one NMS over the union.
+
+    Args:
+      boxes/scores/valid: (B, A, K, ...) per-agent detections (each in
+        its own frame).
+      trans: (B, A, A, 4, 4), trans[b, i, j] = T_{i<-j}.
+      agent_mask: (B, A).
+      nms_iou: suppression threshold for the merged set.
+      max_out: keep this many top candidates per ego before NMS
+        (0 = A*K, no truncation).
+
+    Returns:
+      NMSResult with (B, A, max_out or A*K) merged, suppressed boxes per
+      ego agent.
+    """
+    b, a, k, _ = boxes.shape
+    # moved[b, i, j, k] = box k of agent j expressed in agent i's frame.
+    moved = transform_boxes(
+        jnp.broadcast_to(boxes[:, None], (b, a, a, k, 5)),
+        trans[:, :, :, None],
+    )
+    merged = moved.reshape(b, a, a * k, 5)
+    src_ok = (valid & agent_mask[:, :, None])[:, None, :, :]
+    merged_valid = jnp.broadcast_to(src_ok, (b, a, a, k)).reshape(b, a, a * k)
+    merged_scores = jnp.broadcast_to(
+        scores[:, None], (b, a, a, k)
+    ).reshape(b, a, a * k)
+
+    if max_out and max_out < a * k:
+        sel_scores, sel_idx = jax.lax.top_k(
+            jnp.where(merged_valid, merged_scores, -jnp.inf), max_out
+        )
+        merged = jnp.take_along_axis(merged, sel_idx[..., None], axis=2)
+        merged_valid = jnp.take_along_axis(merged_valid, sel_idx, axis=2)
+        merged_scores = sel_scores
+    return batched_nms(merged, merged_scores, merged_valid, nms_iou)

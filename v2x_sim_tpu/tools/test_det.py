@@ -26,6 +26,12 @@ def parse_args():
     p.add_argument("--num_batches", type=int, default=4)
     p.add_argument("--save_dets", default="", help="dir to dump per-frame dets")
     p.add_argument("--visualize", default="", help="dir for BEV renderings")
+    p.add_argument(
+        "--late_fusion",
+        action="store_true",
+        help="merge per-agent boxes into each ego frame + re-NMS "
+        "(reference test-time late-fusion mode)",
+    )
     return p.parse_args()
 
 
@@ -67,6 +73,20 @@ def main():
         res = module.predict(
             state, batch, config.max_boxes, args.nms_iou, args.score_threshold
         )
+        if args.late_fusion:
+            import jax as _jax
+
+            from v2x_sim_tpu.ops.postprocess import late_fuse
+
+            res = _jax.jit(late_fuse, static_argnums=(5, 6))(
+                res.boxes,
+                jnp.where(res.valid, res.scores, 0.0),
+                res.valid,
+                batch["trans"],
+                batch["agent_mask"],
+                args.nms_iou,
+                config.max_boxes,
+            )
         all_det_boxes.append(np.asarray(res.boxes))
         all_scores.append(np.asarray(res.scores))
         all_valid.append(np.asarray(res.valid))

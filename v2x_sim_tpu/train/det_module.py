@@ -28,7 +28,6 @@ from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.models.det.net import DetModel, TeacherModel
 from v2x_sim_tpu.ops.anchors import anchor_grid
 from v2x_sim_tpu.ops.assign import AnchorTargets, assign_targets
-from v2x_sim_tpu.ops.boxes import decode_boxes
 from v2x_sim_tpu.ops.nms import NMSResult, batched_nms
 from v2x_sim_tpu.ops.voxelize import voxelize_batch
 from v2x_sim_tpu.utils.losses import (
@@ -327,6 +326,8 @@ class DetModule:
 
         Returns per-(batch, agent) NMSResult with (K, 5) boxes.
         """
+        from v2x_sim_tpu.ops.postprocess import decode_topk
+
         k = max_boxes or self.config.max_boxes
         occ = self._model_input(batch)
         out = self.model.apply(
@@ -336,20 +337,12 @@ class DetModule:
             batch["agent_mask"],
             train=False,
         )
-        b, a = out.cls_logits.shape[:2]
-        probs = jax.nn.softmax(out.cls_logits, axis=-1)[..., 1]
-        scores = probs.reshape(b, a, -1)
-        codes = out.reg.reshape(b, a, -1, 6)
-        anchors = self.anchors.reshape(1, 1, -1, 5)
-
-        top_scores, top_idx = jax.lax.top_k(scores, k)
-        top_codes = jnp.take_along_axis(codes, top_idx[..., None], axis=2)
-        top_anchors = jnp.take_along_axis(
-            jnp.broadcast_to(anchors, (b, a) + anchors.shape[2:]),
-            top_idx[..., None],
-            axis=2,
+        boxes, top_scores, valid = decode_topk(
+            out.cls_logits,
+            out.reg,
+            self.anchors,
+            k,
+            score_threshold,
+            batch["agent_mask"],
         )
-        boxes = decode_boxes(top_codes, top_anchors)
-        valid = top_scores > score_threshold
-        valid = valid & batch["agent_mask"][..., None]
         return batched_nms(boxes, top_scores, valid, nms_iou)
