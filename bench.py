@@ -33,6 +33,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from v2x_sim_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from v2x_sim_tpu.configs.config import Config
     from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
     from v2x_sim_tpu.train.det_module import DetModule

@@ -72,3 +72,33 @@ def voxelize_batch(
 
     out = jax.vmap(lambda p, m: voxelize(p, m, grid))(flat_pts, flat_mask)
     return out.reshape(batch_shape + out.shape[-3:])
+
+
+def merged_occupancy(
+    points: jnp.ndarray,
+    point_mask: jnp.ndarray,
+    trans: jnp.ndarray,
+    agent_mask: jnp.ndarray,
+    grid: GridConfig,
+) -> jnp.ndarray:
+    """Early-fusion occupancy: all agents' clouds merged into each agent's
+    frame (upperbound input / DiscoNet teacher input — SURVEY.md §2.1).
+
+    Args:
+      points: (B, A, P, 3) padded per-agent points (own frames).
+      point_mask: (B, A, P).
+      trans: (B, A, A, 4, 4), trans[b, i, j] = T_{i<-j}.
+      agent_mask: (B, A).
+
+    Returns:
+      (B, A, H, W, D) where slice [b, i] voxelizes the union of every
+      real agent j's points transformed into agent i's frame.
+    """
+    b, a, p, _ = points.shape
+    hom = jnp.concatenate([points, jnp.ones_like(points[..., :1])], -1)
+    merged = jnp.einsum("bijxy,bjpy->bijpx", trans, hom)[..., :3]
+    mmask = jnp.broadcast_to(
+        point_mask[:, None, :, :] & agent_mask[:, None, :, None],
+        (b, a, a, p),
+    ).reshape(b, a, a * p)
+    return voxelize_batch(merged.reshape(b, a, a * p, 3), mmask, grid)

@@ -33,12 +33,16 @@ COM_ALIASES = {
 
 
 def force_cpu_if_requested(args) -> None:
-    """--cpu reroutes jax off the TPU tunnel (see .claude/skills/verify)."""
+    """--cpu reroutes jax off the TPU tunnel (see .claude/skills/verify).
+    Also enables the persistent compilation cache either way."""
     if getattr(args, "cpu", False):
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from v2x_sim_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
 
 def add_common_args(p: argparse.ArgumentParser) -> None:

@@ -116,10 +116,19 @@ def main():
         train_step = make_parallel_train_step(module, mesh)
         prepare = make_parallel_prepare(module, mesh)
 
+    from v2x_sim_tpu.datasets.loader import prefetch
+
     timer = StepTimer(scenes_per_step=args.batch)
     for epoch in range(start_epoch, args.nepoch):
         for bi, raw in enumerate(
-            make_batches(args, config, split_seed=epoch * 1000, num_batches=args.batches_per_epoch)
+            prefetch(
+                make_batches(
+                    args,
+                    config,
+                    split_seed=epoch * 1000,
+                    num_batches=args.batches_per_epoch,
+                )
+            )
         ):
             batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
             if mesh is not None:

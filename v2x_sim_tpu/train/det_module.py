@@ -107,22 +107,12 @@ class DetModule:
         )
 
     def merged_occupancy(self, points, point_mask, trans, agent_mask):
-        """Early-fusion occupancy: all agents' clouds merged into each
-        agent's frame (upperbound input / teacher input).
+        """Early-fusion occupancy (upperbound / teacher input); see
+        ops.voxelize.merged_occupancy."""
+        from v2x_sim_tpu.ops.voxelize import merged_occupancy
 
-        Returns (B, A, H, W, D) where slice [b, i] voxelizes the union of
-        every real agent j's points transformed by trans[b, i, j].
-        """
-        b, a, p, _ = points.shape
-        hom = jnp.concatenate([points, jnp.ones_like(points[..., :1])], -1)
-        # merged[b, i, j, p] = trans[b, i, j] @ points[b, j, p]
-        merged = jnp.einsum("bijxy,bjpy->bijpx", trans, hom)[..., :3]
-        mmask = jnp.broadcast_to(
-            point_mask[:, None, :, :] & agent_mask[:, None, :, None],
-            (b, a, a, p),
-        ).reshape(b, a, a * p)
-        return voxelize_batch(
-            merged.reshape(b, a, a * p, 3), mmask, self.config.grid
+        return merged_occupancy(
+            points, point_mask, trans, agent_mask, self.config.grid
         ).astype(self.compute_dtype)
 
     def targets_from_gt(self, gt_boxes, gt_mask):

@@ -52,6 +52,17 @@ class SegModule:
     def _model_input(self, batch):
         if "occupancy" in batch:
             return batch["occupancy"]
+        if self.mode == "upperbound":
+            # Early fusion: merge all real agents' clouds per ego frame.
+            from v2x_sim_tpu.ops.voxelize import merged_occupancy
+
+            return merged_occupancy(
+                batch["points"],
+                batch["point_mask"],
+                batch["trans"],
+                batch["agent_mask"],
+                self.config.grid,
+            )
         return self.occupancy_from_points(batch["points"], batch["point_mask"])
 
     def _prepare_batch_impl(self, batch):
