@@ -72,6 +72,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         help="small = 64x64 BEV for CPU smoke runs",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--bf16", action="store_true", help="bfloat16 activations (MXU fast path)"
+    )
 
 
 def build_config(args) -> Config:

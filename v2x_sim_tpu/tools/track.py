@@ -55,7 +55,7 @@ def link_gt_ids(gt_frames):
 
 def main():
     args = parse_args()
-    from v2x_sim_tpu.tracking.mot_metrics import evaluate_mot
+    from v2x_sim_tpu.tracking.mot_metrics import evaluate_hota, evaluate_mot
     from v2x_sim_tpu.tracking.sort import track_sequence
 
     files = sorted(
@@ -96,9 +96,14 @@ def main():
         )
         gt = link_gt_ids(gt_seq[agent])
         m = evaluate_mot(gt, tracks, iou_threshold=args.eval_iou)
+        m.update(evaluate_hota(gt, tracks))
         results[f"agent{agent}"] = {k: round(v, 4) for k, v in m.items()}
     motas = [r["mota"] for r in results.values()]
-    results["global"] = {"mota": round(float(np.mean(motas)), 4)}
+    hotas = [r["hota"] for r in results.values()]
+    results["global"] = {
+        "mota": round(float(np.mean(motas)), 4),
+        "hota": round(float(np.mean(hotas)), 4),
+    }
     print(json.dumps(results, indent=1))
 
 

@@ -69,6 +69,8 @@ def main():
         axis = DATA_AXIS
         mesh = make_mesh(num_devices=dp)
 
+    import jax.numpy as _jnp
+
     module = DetModule(
         config,
         mode=mode,
@@ -76,6 +78,7 @@ def main():
         kd_weight=kd_weight,
         mgda=args.mgda,
         axis_name=axis,
+        compute_dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32,
     )
 
     first = next(make_batches(args, config, num_batches=1))

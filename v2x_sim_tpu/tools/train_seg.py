@@ -34,7 +34,14 @@ def main():
     from v2x_sim_tpu.utils.meters import RunLogger, StepTimer
 
     config = build_config(args)
-    module = SegModule(config, mode=resolve_mode(args), learning_rate=args.lr)
+    import jax.numpy as _jnp
+
+    module = SegModule(
+        config,
+        mode=resolve_mode(args),
+        learning_rate=args.lr,
+        compute_dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32,
+    )
     logger = RunLogger(args.logpath)
     logger.log(f"train_seg mode={resolve_mode(args)} args={vars(args)}")
 

@@ -75,3 +75,81 @@ def evaluate_mot(
         "num_gt": float(num_gt),
         "matches": float(matches),
     }
+
+
+def evaluate_hota(
+    gt_frames: List[np.ndarray],
+    trk_frames: List[np.ndarray],
+    alphas: np.ndarray = np.arange(0.05, 0.96, 0.05),
+) -> Dict[str, float]:
+    """HOTA (Higher Order Tracking Accuracy), averaged over IoU alphas.
+
+    Follows the standard decomposition HOTA_a = sqrt(DetA_a * AssA_a):
+    per-frame Hungarian matching at IoU >= alpha gives TP/FN/FP (DetA);
+    each TP's association score A(c) = TPA / (TPA + FNA + FPA) over the
+    whole sequence gives AssA. (TrackEval additionally iterates the
+    matching against association scores; this single-pass variant tracks
+    it closely and needs no vendored dependency.)
+    """
+    assert len(gt_frames) == len(trk_frames)
+    # Precompute per-frame IoU matrices + id arrays once.
+    frames = []
+    for gt, trk in zip(gt_frames, trk_frames):
+        gt = np.asarray(gt).reshape(-1, 6)
+        trk = np.asarray(trk).reshape(-1, 6)
+        iou = rotated_iou_matrix_np(gt[:, :5], trk[:, :5])
+        frames.append((gt[:, 5].astype(int), trk[:, 5].astype(int), iou))
+
+    # Per-id frame counts for association denominators.
+    gt_count: Dict[int, int] = {}
+    tr_count: Dict[int, int] = {}
+    for gids, tids, _ in frames:
+        for g in gids:
+            gt_count[g] = gt_count.get(g, 0) + 1
+        for t in tids:
+            tr_count[t] = tr_count.get(t, 0) + 1
+
+    hotas, detas, assas = [], [], []
+    for alpha in alphas:
+        tp_pairs: List[tuple] = []
+        fn = fp = 0
+        pair_count: Dict[tuple, int] = {}
+        for gids, tids, iou in frames:
+            if iou.size:
+                rows, cols = linear_sum_assignment(-iou)
+                matched_g, matched_t = set(), set()
+                for r, c in zip(rows, cols):
+                    if iou[r, c] >= alpha:
+                        key = (gids[r], tids[c])
+                        pair_count[key] = pair_count.get(key, 0) + 1
+                        tp_pairs.append(key)
+                        matched_g.add(r)
+                        matched_t.add(c)
+                fn += len(gids) - len(matched_g)
+                fp += len(tids) - len(matched_t)
+            else:
+                fn += len(gids)
+                fp += len(tids)
+        tp = len(tp_pairs)
+        if tp + fn + fp == 0:
+            continue
+        det_a = tp / (tp + fn + fp)
+        if tp:
+            ass = 0.0
+            for (g, t) in tp_pairs:
+                tpa = pair_count[(g, t)]
+                fna = gt_count[g] - tpa
+                fpa = tr_count[t] - tpa
+                ass += tpa / (tpa + fna + fpa)
+            ass_a = ass / tp
+        else:
+            ass_a = 0.0
+        detas.append(det_a)
+        assas.append(ass_a)
+        hotas.append(float(np.sqrt(det_a * ass_a)))
+
+    return {
+        "hota": float(np.mean(hotas)) if hotas else 0.0,
+        "det_a": float(np.mean(detas)) if detas else 0.0,
+        "ass_a": float(np.mean(assas)) if assas else 0.0,
+    }
