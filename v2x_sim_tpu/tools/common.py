@@ -101,9 +101,14 @@ def make_batches(args, config: Config, split_seed: int = 0, num_batches: int = 8
             points_per_agent=2048 if args.grid == "small" else 8192
         )
         for i in range(num_batches):
-            yield generate_batch(
+            batch = generate_batch(
                 config, spec, args.batch, seed=args.seed + split_seed + i
             )
+            if not args.rsu:
+                # Reference --rsu 0: drop the road-side unit (agent 0).
+                batch["agent_mask"] = batch["agent_mask"].copy()
+                batch["agent_mask"][:, 0] = False
+            yield batch
     elif os.path.isdir(os.path.join(args.data, "v1.0-mini")) or any(
         d.startswith("v1.0") for d in os.listdir(args.data)
     ):
