@@ -51,7 +51,9 @@ def main() -> None:
     state = module.init(jax.random.PRNGKey(0), batch)
 
     def run(batch):
-        return module.predict(state, batch, 256, 0.1, 0.3)
+        # 128 NMS candidates per agent: plenty for <=32 GT/scene, and the
+        # K x K suppression matrix stays in the fast einsum regime.
+        return module.predict(state, batch, 128, 0.1, 0.3)
 
     # Warmup / compile.
     out = run(batch)

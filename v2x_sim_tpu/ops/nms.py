@@ -61,7 +61,10 @@ def nms(
         sup = (iou[i] > iou_threshold) & (idx > i) & keep[i] & keep
         return keep & ~sup
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+    # Heavy unroll: each iteration is a trivial vector op, so the loop is
+    # dominated by per-iteration while-loop dispatch on TPU (~12 ms at
+    # K=256 without unrolling).
+    keep = jax.lax.fori_loop(0, k, body, valid, unroll=32)
     return NMSResult(boxes, jnp.where(keep, scores, NEG_INF), keep)
 
 
