@@ -24,7 +24,7 @@ import time
 # (6-agent scenes/sec, forward + postprocess). See BASELINE.md.
 REFERENCE_GPU_SCENES_PER_SEC = 30.0
 
-BATCH = 4
+BATCH = 8
 STEPS = 20
 
 

@@ -96,3 +96,40 @@ def test_warp_inverse_composition():
     # Interior region only (borders lose info to zero padding).
     err = np.abs(back[20:44, 20:44] - feats[20:44, 20:44])
     assert np.median(err) < 0.25  # bilinear double-resample smoothing
+
+def test_onehot_path_matches_gather_path():
+    """warp_all_pairs_onehot (MXU einsum) vs the gather path on random
+    rigid transforms — identical math, different execution strategy."""
+    import jax
+    from v2x_sim_tpu.ops.warp import warp_all_pairs_onehot, warp_features
+
+    rng = np.random.default_rng(3)
+    b, a, h, w, c = 2, 4, 32, 32, 8
+    feats = rng.standard_normal((b, a, h, w, c)).astype(np.float32)
+    trans = np.tile(np.eye(4, dtype=np.float32), (b, a, a, 1, 1))
+    for bi in range(b):
+        for i in range(a):
+            for j in range(a):
+                if i == j:
+                    continue
+                yaw = rng.uniform(-1.5, 1.5)
+                cy_, sy_ = np.cos(yaw), np.sin(yaw)
+                trans[bi, i, j, :2, :2] = [[cy_, -sy_], [sy_, cy_]]
+                trans[bi, i, j, :2, 3] = rng.uniform(-8, 8, 2)
+    got = np.asarray(
+        warp_all_pairs_onehot(jnp.asarray(feats), jnp.asarray(trans), GRID)
+    )
+    t_src = np.swapaxes(trans, 1, 2)
+    want = np.stack([
+        np.stack([
+            np.stack([
+                np.asarray(warp_features(
+                    jnp.asarray(feats[bi, j]), jnp.asarray(t_src[bi, i, j]), GRID
+                ))
+                for j in range(a)
+            ])
+            for i in range(a)
+        ])
+        for bi in range(b)
+    ])
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -120,7 +120,9 @@ class ClassificationHead(nn.Module):
         x = nn.Conv(32, (3, 3), dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.num_anchors * self.num_classes, (1, 1), dtype=self.dtype)(x)
-        x = x.astype(jnp.float32)
+        # Stay in compute dtype: a float32 cast here writes an extra
+        # ~600 MB of full-res logits per production batch. Consumers
+        # (losses, decode) cast the small slices they need.
         return x.reshape(x.shape[:-1] + (self.num_anchors, self.num_classes))
 
 
@@ -138,7 +140,7 @@ class RegressionHead(nn.Module):
         x = nn.Conv(
             self.num_anchors * self.box_code_size, (1, 1), dtype=self.dtype
         )(x)
-        x = x.astype(jnp.float32)
+        # No float32 cast — see ClassificationHead.
         return x.reshape(x.shape[:-1] + (self.num_anchors, self.box_code_size))
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.ops.boxes import encode_boxes
-from v2x_sim_tpu.ops.iou_sh import rotated_iou
+from v2x_sim_tpu.ops.iou_sh import rotated_iou_auto as rotated_iou
 
 #: Candidate GT per cell (by center distance).
 _CANDS = 2

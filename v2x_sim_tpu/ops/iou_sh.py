@@ -197,3 +197,39 @@ def rotated_iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarra
     return rotated_iou(
         jnp.broadcast_to(a, (n, m, 5)), jnp.broadcast_to(b, (n, m, 5))
     )
+
+
+def _use_pallas() -> bool:
+    import jax
+
+    # Dispatch on the actual devices, not jax.default_backend(): with the
+    # axon TPU tunnel registered, default_backend() says "tpu" even when
+    # JAX_PLATFORMS=cpu forces host devices (e.g. the multichip dryrun).
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def rotated_iou_auto(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Backend-dispatched exact rotated IoU: the Pallas kernel on TPU
+    (~4x faster — the whole clip pipeline stays in VMEM), this module's
+    XLA formulation elsewhere. Numerically identical (shared tests)."""
+    if _use_pallas():
+        from v2x_sim_tpu.ops.pallas.iou_pl import rotated_iou as pl_iou
+
+        return pl_iou(boxes_a, boxes_b)
+    return rotated_iou(boxes_a, boxes_b)
+
+
+def rotated_iou_matrix_auto(
+    boxes_a: jnp.ndarray, boxes_b: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, 5) x (M, 5) -> (N, M); backend-dispatched like rotated_iou_auto."""
+    if _use_pallas():
+        from v2x_sim_tpu.ops.pallas.iou_pl import (
+            rotated_iou_matrix as pl_matrix,
+        )
+
+        return pl_matrix(boxes_a, boxes_b)
+    return rotated_iou_matrix(boxes_a, boxes_b)

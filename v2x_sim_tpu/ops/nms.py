@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from v2x_sim_tpu.ops.iou_sh import rotated_iou_matrix
+from v2x_sim_tpu.ops.iou_sh import rotated_iou_matrix_auto
 
 NEG_INF = -1e9
 
@@ -54,7 +54,7 @@ def nms(
     scores = scores[order]
     valid = valid[order]
 
-    iou = rotated_iou_matrix(boxes, boxes)
+    iou = rotated_iou_matrix_auto(boxes, boxes)
     idx = jnp.arange(k)
 
     def body(i, keep):

@@ -44,12 +44,21 @@ def decode_topk(
       boxes (B, A, k, 5), scores (B, A, k), valid (B, A, k).
     """
     b, a = cls_logits.shape[:2]
+    h, w, kk = anchors.shape[:3]
+    nc = cls_logits.shape[-1]
+    code = reg.shape[-1]
+    # Work on the heads' natural flat conv layout (B*A, H, W, K*C): the
+    # 6-D (..., K, C) view has tiny minor dims that XLA materializes in a
+    # ~20x-padded tiled layout the moment it crosses a fusion boundary.
+    # reshape-of-reshape collapses back to the conv output, so nothing
+    # padded is ever written.
+    cls_flat = cls_logits.reshape(b * a, h, w, kk * nc)
+    reg_flat = reg.reshape(b * a, h, w, kk * code)
     # Binary softmax == sigmoid of the logit difference; rank on the raw
     # difference and sigmoid only the k survivors (saves a full-grid
     # softmax over ~10M logits).
-    diff = (cls_logits[..., 1] - cls_logits[..., 0]).reshape(b, a, -1)
-    codes = reg.reshape(b, a, -1, 6)
-    flat_anchors = anchors.reshape(1, 1, -1, 5)
+    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(b * a, -1)
+    flat_anchors = anchors.reshape(-1, 5)
 
     if exact:
         top_diff, top_idx = jax.lax.top_k(diff, k)
@@ -57,13 +66,22 @@ def decode_topk(
         top_diff, top_idx = jax.lax.approx_max_k(
             diff, k, recall_target=0.99
         )
-    top_scores = jax.nn.sigmoid(top_diff)
-    top_codes = jnp.take_along_axis(codes, top_idx[..., None], axis=2)
-    top_anchors = jnp.take_along_axis(
-        jnp.broadcast_to(flat_anchors, (b, a) + flat_anchors.shape[2:]),
-        top_idx[..., None],
-        axis=2,
+    top_scores = jax.nn.sigmoid(top_diff.astype(jnp.float32)).reshape(b, a, k)
+    # Gather the k survivors' reg codes from the flat map via decomposed
+    # indices: rows (y, x) first, then the anchor's `code` lanes.
+    hi = top_idx // (w * kk)
+    rem = top_idx % (w * kk)
+    wi, ki = rem // kk, rem % kk
+    rows = jax.vmap(lambda r, y, x: r[y, x])(reg_flat, hi, wi)  # (BA, k, K*code)
+    lanes = ki[..., None] * code + jnp.arange(code)
+    top_codes = (
+        jnp.take_along_axis(rows, lanes, axis=-1)
+        .reshape(b, a, k, code)
+        .astype(jnp.float32)
     )
+    # The anchor grid is shared across (B, A): gather the (HWK, 5) table
+    # directly rather than broadcasting it across the batch.
+    top_anchors = jnp.take(flat_anchors, top_idx, axis=0).reshape(b, a, k, 5)
     boxes = decode_boxes(top_codes, top_anchors)
     valid = (top_scores > score_threshold) & agent_mask[..., None]
     return boxes, top_scores, valid

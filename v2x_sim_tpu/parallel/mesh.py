@@ -28,7 +28,16 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
     from jax import shard_map as _shard_map
 
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: the Pallas rotated-IoU kernel's out_shape has no
+        # varying-mesh-axes annotation; everything in these steps is plain
+        # per-shard SPMD, so the check adds nothing.
+        return _shard_map(
+            f,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
 
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_legacy

@@ -39,6 +39,7 @@ def softmax_focal_loss_sum(
       (RetinaNet convention): with ~10^5 anchors and tens of positives,
       normalizing by total anchors would dilute the foreground gradient.
     """
+    logits = logits.astype(jnp.float32)  # bf16 sums over ~10^7 anchors drift
     c = logits.shape[-1]
     ignore = labels < 0
     safe_labels = jnp.clip(labels, 0, c - 1)
@@ -69,6 +70,9 @@ def smooth_l1_loss_sum(
     Returns:
       (loss_sum, num_positive).
     """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     diff = jnp.abs(pred - target)
     loss = jnp.where(diff < delta, 0.5 * diff * diff / delta, diff - 0.5 * delta)
     loss = jnp.sum(loss, axis=-1) * mask
@@ -81,6 +85,7 @@ def seg_cross_entropy_sum(
     """Per-pixel softmax cross-entropy; labels < 0 are ignored.
 
     Returns (loss_sum, valid_pixel_count)."""
+    logits = logits.astype(jnp.float32)
     ignore = labels < 0
     safe = jnp.clip(labels, 0, num_classes - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from v2x_sim_tpu.ops.iou_sh import rotated_iou_matrix
+from v2x_sim_tpu.ops.iou_sh import rotated_iou_matrix_auto as rotated_iou_matrix
 
 
 def average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
