@@ -5,22 +5,31 @@ SURVEY.md §2.1): IoU-match GT boxes to the dense anchor grid, producing
 classification labels, encoded regression targets, and the regression loss
 mask.
 
-TPU-first design — dense, regular, gather-light:
+TPU-first design — dense, regular, gather-free, natively batched:
   1. Every BEV cell ranks the (static, padded) GT set by center distance
-     and keeps its top-2 candidates — one (H, W, M) elementwise pass +
+     and keeps its top-2 candidates — one (B, H, W, M) elementwise pass +
      two masked argmins, no sort.
   2. Exact rotated IoU runs densely against just those 2 candidates per
-     (cell, anchor): (H, W, K, 2) pairs, pure VPU work.
+     (cell, anchor) — ONE Pallas kernel launch over all B*H*W*K pairs per
+     candidate (vmapping the per-sample function instead serializes ~100
+     kernel launches per batch).
   3. Each GT's single best anchor is forced positive through one tiny
-     M-element scatter-max, so no GT is unlearnable.
+     B*M-element scatter-max, so no GT is unlearnable.
+
+Layout rules learned the hard way (each violation cost GBs of padded HBM
+or a 10x slowdown at production geometry):
+  * Everything between the candidate selection and the final reshape works
+    on FLAT (B, n = H*W*K) arrays: any big tensor with tiny minor dims
+    (..., K, 5) materializes in a 20-85x padded tiled layout.
+  * Row lookups from the tiny (M, 5) GT table are one-hot matmuls on the
+    MXU, never gathers (a 19M-row gather is ~10x slower).
 
 Two earlier designs (scan+dynamic_update_slice windows; vmapped
 dynamic_slice windows + a 10M-element packed scatter) compiled
-pathologically on TPU — batched gathers/scatters with data-dependent
-offsets are compile- and run-hostile there. Top-2-by-distance is exact
-for the benchmark's box statistics (vehicles whose footprints overlap a
-cell's anchor essentially never have 3+ centers closer than a third
-box's); tests assert parity with a brute-force all-pairs oracle.
+pathologically on TPU. Top-2-by-distance is exact for the benchmark's box
+statistics (vehicles whose footprints overlap a cell's anchor essentially
+never have 3+ centers closer than a third box's); tests assert parity
+with a brute-force all-pairs oracle.
 
 Runs on-device inside the streaming input pipeline (prepare_batch), or on
 CPU in offline preprocessing, from the same jitted code.
@@ -35,21 +44,17 @@ import jax
 import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
-from v2x_sim_tpu.ops.boxes import encode_boxes
 from v2x_sim_tpu.ops.iou_sh import rotated_iou_auto as rotated_iou
-
-#: Candidate GT per cell (by center distance).
-_CANDS = 2
 
 
 class AnchorTargets(NamedTuple):
     """Dense per-anchor training targets.
 
-    labels: (H, W, K) int32 — 1 positive, 0 negative, -1 ignore.
-    reg_targets: (H, W, K, 6) float32 — encoded box deltas (zero where not
-      positive).
-    reg_mask: (H, W, K) float32 — 1.0 where regression loss applies.
-    best_iou: (H, W, K) float32 — max IoU of each anchor vs any GT.
+    labels: (..., H, W, K) int32 — 1 positive, 0 negative, -1 ignore.
+    reg_targets: (..., H, W, K, 6) float32 — encoded box deltas (zero where
+      not positive).
+    reg_mask: (..., H, W, K) float32 — 1.0 where regression loss applies.
+    best_iou: (..., H, W, K) float32 — max IoU of each anchor vs any GT.
     """
 
     labels: jnp.ndarray
@@ -59,108 +64,159 @@ class AnchorTargets(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+def assign_targets_batched(
+    gt_boxes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    anchors: jnp.ndarray,
+    config: Config,
+) -> AnchorTargets:
+    """Assign GT boxes to anchors for a whole batch at once.
+
+    Args:
+      gt_boxes: (B, M, 5) padded GT (x, y, l, w, yaw).
+      gt_mask: (B, M) bool validity.
+      anchors: (H, W, K, 5) dense anchor grid (see ops.anchors.anchor_grid).
+      config: static config (thresholds, grid geometry).
+
+    Returns:
+      AnchorTargets over the full (B, H, W, K) grid.
+    """
+    h, w, k, _ = anchors.shape
+    b, m = gt_boxes.shape[:2]
+    pos_thr = config.anchors.pos_iou_threshold
+    neg_thr = config.anchors.neg_iou_threshold
+    dtype = anchors.dtype
+    n = h * w * k
+    anchors_flat = anchors.reshape(n, 5)
+
+    # ---- 1. top-2 GT candidates per cell by center distance ---------- #
+    cell_x = anchors[:, :, 0, 0]  # (H, W): anchor centers == cell centers
+    cell_y = anchors[:, :, 0, 1]
+    dx = cell_x[None, :, :, None] - gt_boxes[:, None, None, :, 0]
+    dy = cell_y[None, :, :, None] - gt_boxes[:, None, None, :, 1]
+    d2 = dx * dx + dy * dy  # (B, H, W, M)
+    d2 = jnp.where(gt_mask[:, None, None, :], d2, jnp.inf)
+
+    c1 = jnp.argmin(d2, axis=-1)  # (B, H, W)
+    oh1 = jax.nn.one_hot(c1, m, dtype=bool)
+    d2_wo1 = jnp.where(oh1, jnp.inf, d2)
+    c2 = jnp.argmin(d2_wo1, axis=-1)
+    # Candidate validity via one-hot reductions (a take_along_axis gather
+    # here costs ~100 ms at production batch).
+    gm = gt_mask.astype(dtype)
+    cv1 = jnp.einsum("bhwm,bm->bhw", oh1.astype(dtype), gm)
+    cv2 = jnp.einsum(
+        "bhwm,bm->bhw", jax.nn.one_hot(c2, m, dtype=dtype), gm
+    )
+
+    # ---- 2. exact IoU vs candidates (flat) ---------------------------- #
+    c1f = jnp.broadcast_to(c1[..., None], (b, h, w, k)).reshape(b, n)
+    c2f = jnp.broadcast_to(c2[..., None], (b, h, w, k)).reshape(b, n)
+    v1 = jnp.broadcast_to(cv1[..., None], (b, h, w, k)).reshape(b, n)
+    v2 = jnp.broadcast_to(cv2[..., None], (b, h, w, k)).reshape(b, n)
+    lookup = lambda idx: jnp.einsum(
+        "bnm,bmf->bnf", jax.nn.one_hot(idx, m, dtype=dtype), gt_boxes
+    )
+    anchors_b = jnp.broadcast_to(anchors_flat[None], (b, n, 5))
+    iou1 = rotated_iou(anchors_b, lookup(c1f)) * v1.astype(dtype)
+    iou2 = rotated_iou(anchors_b, lookup(c2f)) * v2.astype(dtype)
+
+    take2 = iou2 > iou1
+    best_iou = jnp.where(take2, iou2, iou1)  # (B, n)
+    best_gt = jnp.where(take2, c2f, c1f)  # (B, n)
+
+    # ---- 3. force each GT's best anchor positive ---------------------- #
+    # Best anchor of GT j: the best-IoU anchor shape at the GT's own cell.
+    grid = config.grid
+    (x0, _), (y0, _) = grid.area_extents[0], grid.area_extents[1]
+    gr = jnp.clip(
+        jnp.floor(
+            (gt_boxes[..., 0] - x0) / grid.voxel_size[0]
+        ).astype(jnp.int32),
+        0,
+        h - 1,
+    )  # (B, M)
+    gc = jnp.clip(
+        jnp.floor(
+            (gt_boxes[..., 1] - y0) / grid.voxel_size[1]
+        ).astype(jnp.int32),
+        0,
+        w - 1,
+    )
+    own_anchors = anchors[gr, gc]  # (B, M, K, 5) — tiny gather
+    own_iou = rotated_iou(
+        jnp.broadcast_to(gt_boxes[:, :, None, :], (b, m, k, 5)), own_anchors
+    )  # (B, M, K)
+    own_k = jnp.argmax(own_iou, axis=-1)  # (B, M)
+    force = gt_mask & (jnp.max(own_iou, axis=-1) > 0.0)
+    # One scatter over the flattened (B * (n + 1)) grid; slot n per sample
+    # is the drop target for unforced GT.
+    base = jnp.arange(b, dtype=jnp.int32)[:, None] * (n + 1)
+    flat_idx = (
+        base + jnp.where(force, (gr * w + gc) * k + own_k, n)
+    ).reshape(-1)
+    forced_iou = (
+        jnp.zeros((b * (n + 1),), dtype)
+        .at[flat_idx]
+        .max(jnp.where(force, pos_thr + 1e-3, 0.0).reshape(-1))
+        .reshape(b, n + 1)[:, :n]
+    )
+    forced_gt = (
+        jnp.full((b * (n + 1),), -1, jnp.int32)
+        .at[flat_idx]
+        .max(jnp.where(force, jnp.arange(m)[None], -1).reshape(-1))
+        .reshape(b, n + 1)[:, :n]
+    )
+    take_forced = forced_iou > best_iou
+    best_iou = jnp.where(take_forced, forced_iou, best_iou)
+    best_gt = jnp.where(take_forced, forced_gt, best_gt)
+
+    # ---- 4. labels + regression targets (still flat) ------------------ #
+    pos = best_iou >= pos_thr
+    neg = best_iou < neg_thr
+    labels = jnp.where(pos, 1, jnp.where(neg, 0, -1)).astype(jnp.int32)
+    reg_mask = pos.astype(dtype)
+    # Field-wise (structure-of-arrays) encode on (B, n) vectors; encode
+    # non-positive cells against their own anchor (exact zeros) so
+    # degenerate padded GT never reaches the log() in the codec.
+    ax, ay, al, aw = (anchors_flat[None, :, i] for i in range(4))
+    matched = lookup(best_gt)  # (B, n, 5)
+    gx, gy, gl, gw, gyaw = (
+        jnp.where(pos, matched[..., i], a)
+        for i, a in enumerate((ax, ay, al, aw, jnp.zeros_like(ax)))
+    )
+    diag = jnp.sqrt(al * al + aw * aw)
+    reg = jnp.stack(
+        [
+            (gx - ax) / diag * reg_mask,
+            (gy - ay) / diag * reg_mask,
+            jnp.log(gl / al) * reg_mask,
+            jnp.log(gw / aw) * reg_mask,
+            jnp.sin(gyaw) * reg_mask,
+            jnp.cos(gyaw) * reg_mask,
+        ],
+        axis=-1,
+    )
+    return AnchorTargets(
+        labels.reshape(b, h, w, k),
+        reg.reshape(b, h, w, k, 6),
+        reg_mask.reshape(b, h, w, k),
+        best_iou.reshape(b, h, w, k),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
 def assign_targets(
     gt_boxes: jnp.ndarray,
     gt_mask: jnp.ndarray,
     anchors: jnp.ndarray,
     config: Config,
 ) -> AnchorTargets:
-    """Assign GT boxes to anchors.
+    """Single-sample assignment: (M, 5) GT -> (H, W, K) targets.
 
-    Args:
-      gt_boxes: (M, 5) padded GT (x, y, l, w, yaw).
-      gt_mask: (M,) bool validity.
-      anchors: (H, W, K, 5) dense anchor grid (see ops.anchors.anchor_grid).
-      config: static config (thresholds, grid geometry).
-
-    Returns:
-      AnchorTargets over the full (H, W, K) grid.
+    Thin wrapper over :func:`assign_targets_batched` (B=1).
     """
-    h, w, k, _ = anchors.shape
-    m = gt_boxes.shape[0]
-    pos_thr = config.anchors.pos_iou_threshold
-    neg_thr = config.anchors.neg_iou_threshold
-    dtype = anchors.dtype
-
-    # ---- 1. top-2 GT candidates per cell by center distance ---------- #
-    cell_x = anchors[:, :, 0, 0]  # (H, W): anchor centers == cell centers
-    cell_y = anchors[:, :, 0, 1]
-    dx = cell_x[:, :, None] - gt_boxes[None, None, :, 0]
-    dy = cell_y[:, :, None] - gt_boxes[None, None, :, 1]
-    d2 = dx * dx + dy * dy  # (H, W, M)
-    d2 = jnp.where(gt_mask[None, None, :], d2, jnp.inf)
-
-    c1 = jnp.argmin(d2, axis=-1)  # (H, W)
-    d2_wo1 = jnp.where(
-        jax.nn.one_hot(c1, m, dtype=bool), jnp.inf, d2
+    out = assign_targets_batched(
+        gt_boxes[None], gt_mask[None], anchors, config
     )
-    c2 = jnp.argmin(d2_wo1, axis=-1)
-    cands = jnp.stack([c1, c2], axis=-1)  # (H, W, 2)
-    cand_valid = jnp.take_along_axis(
-        jnp.broadcast_to(gt_mask[None, None, :], d2.shape), cands, axis=-1
-    )  # (H, W, 2)
-
-    # ---- 2. exact IoU vs candidates ---------------------------------- #
-    cand_boxes = gt_boxes[cands]  # (H, W, 2, 5)
-    iou = rotated_iou(
-        jnp.broadcast_to(anchors[:, :, :, None, :], (h, w, k, _CANDS, 5)),
-        jnp.broadcast_to(cand_boxes[:, :, None, :, :], (h, w, k, _CANDS, 5)),
-    )  # (H, W, K, 2)
-    iou = iou * cand_valid[:, :, None, :].astype(dtype)
-
-    best_c = jnp.argmax(iou, axis=-1)  # (H, W, K) in {0, 1}
-    best_iou = jnp.take_along_axis(iou, best_c[..., None], axis=-1)[..., 0]
-    best_gt = jnp.take_along_axis(
-        jnp.broadcast_to(cands[:, :, None, :], (h, w, k, _CANDS)),
-        best_c[..., None],
-        axis=-1,
-    )[..., 0]
-
-    # ---- 3. force each GT's best anchor positive ---------------------- #
-    # Best anchor of GT m: the best-IoU anchor shape at the GT's own cell.
-    grid = config.grid
-    (x0, _), (y0, _) = grid.area_extents[0], grid.area_extents[1]
-    gr = jnp.clip(
-        jnp.floor((gt_boxes[:, 0] - x0) / grid.voxel_size[0]).astype(jnp.int32),
-        0,
-        h - 1,
-    )
-    gc = jnp.clip(
-        jnp.floor((gt_boxes[:, 1] - y0) / grid.voxel_size[1]).astype(jnp.int32),
-        0,
-        w - 1,
-    )
-    own_anchors = anchors[gr, gc]  # (M, K, 5)
-    own_iou = rotated_iou(
-        jnp.broadcast_to(gt_boxes[:, None, :], (m, k, 5)), own_anchors
-    )  # (M, K)
-    own_k = jnp.argmax(own_iou, axis=-1)  # (M,)
-    force = gt_mask & (jnp.max(own_iou, axis=-1) > 0.0)
-    flat_idx = jnp.where(force, (gr * w + gc) * k + own_k, h * w * k)
-    forced_iou = (
-        jnp.zeros((h * w * k,), dtype)
-        .at[flat_idx]
-        .max(jnp.where(force, pos_thr + 1e-3, 0.0), mode="drop")
-        .reshape(h, w, k)
-    )
-    forced_gt = (
-        jnp.full((h * w * k,), -1, jnp.int32)
-        .at[flat_idx]
-        .max(jnp.where(force, jnp.arange(m), -1), mode="drop")
-        .reshape(h, w, k)
-    )
-    take_forced = forced_iou > best_iou
-    best_iou = jnp.where(take_forced, forced_iou, best_iou)
-    best_gt = jnp.where(take_forced, forced_gt, best_gt)
-
-    # ---- 4. labels + regression targets ------------------------------- #
-    pos = best_iou >= pos_thr
-    neg = best_iou < neg_thr
-    labels = jnp.where(pos, 1, jnp.where(neg, 0, -1)).astype(jnp.int32)
-    # Encode non-positive cells against their own anchor (exact zeros) so
-    # degenerate padded GT never reaches the log() in the codec.
-    matched = jnp.where(pos[..., None], gt_boxes[best_gt], anchors)
-    reg = encode_boxes(matched, anchors)
-    reg_mask = pos.astype(dtype)
-    reg = reg * reg_mask[..., None]
-    return AnchorTargets(labels, reg, reg_mask, best_iou)
+    return AnchorTargets(*(x[0] for x in out))

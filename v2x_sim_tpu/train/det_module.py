@@ -27,7 +27,7 @@ import optax
 from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.models.det.net import DetModel, TeacherModel
 from v2x_sim_tpu.ops.anchors import anchor_grid
-from v2x_sim_tpu.ops.assign import AnchorTargets, assign_targets
+from v2x_sim_tpu.ops.assign import AnchorTargets, assign_targets_batched
 from v2x_sim_tpu.ops.nms import NMSResult, batched_nms
 from v2x_sim_tpu.ops.voxelize import voxelize_batch
 from v2x_sim_tpu.utils.losses import (
@@ -116,11 +116,14 @@ class DetModule:
         ).astype(self.compute_dtype)
 
     def targets_from_gt(self, gt_boxes, gt_mask):
-        """vmap anchor assignment over (B, A)."""
+        """Batched anchor assignment over (B, A) — one kernel launch for
+        the whole batch (vmap would serialize ~B*A Pallas IoU calls)."""
         b, a, m, _ = gt_boxes.shape
-        fn = lambda gb, gm: assign_targets(gb, gm, self.anchors, self.config)
-        flat = jax.vmap(fn)(
-            gt_boxes.reshape(b * a, m, 5), gt_mask.reshape(b * a, m)
+        flat = assign_targets_batched(
+            gt_boxes.reshape(b * a, m, 5),
+            gt_mask.reshape(b * a, m),
+            self.anchors,
+            self.config,
         )
         reshape = lambda x: x.reshape((b, a) + x.shape[1:])
         return jax.tree.map(reshape, flat)
