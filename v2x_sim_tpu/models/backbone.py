@@ -34,78 +34,161 @@ Dtype = Any
 
 
 class ConvBlock(nn.Module):
-    """Two 3x3 conv + BN + ReLU layers; optional stride-2 on the first."""
+    """Two 3x3 conv + BN + ReLU layers; optional stride-2 on the first.
+
+    `mode` selects the execution layout (same params, same math —
+    models.s2d):
+      * "plain": standard NHWC convs.
+      * "s2d": input AND output are 2x2-blocked (full-res stages run at
+        half resolution with 4x channels for MXU utilization).
+      * "s2d_entry": blocked input, plain half-res output (the stride-2
+        stage that consumes a blocked predecessor).
+    """
 
     features: int
     stride: int = 1
     axis_name: Optional[str] = None
     dtype: Dtype = None
+    mode: str = "plain"
+    in_perm: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from v2x_sim_tpu.models.s2d import S2DBatchNorm, S2DConv
+
         for i, s in enumerate((self.stride, 1)):
-            # Explicit pad-1 (torch convention) rather than "SAME":
-            # identical at stride 1, but one pixel shifted at stride 2 —
-            # required for reference-checkpoint parity (SURVEY.md §7).
-            x = nn.Conv(
-                self.features,
-                (3, 3),
-                strides=(s, s),
-                padding=((1, 1), (1, 1)),
-                use_bias=False,
-                dtype=self.dtype,
-            )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                axis_name=self.axis_name if train else None,
-                dtype=self.dtype,
-            )(x)
+            blocked_in = self.mode == "s2d" or (
+                self.mode == "s2d_entry" and i == 0
+            )
+            blocked_out = self.mode == "s2d" or (
+                self.mode == "s2d_entry" and i == 0 and s == 1
+            )
+            if blocked_in:
+                x = S2DConv(
+                    self.features,
+                    stride=s,
+                    use_bias=False,
+                    in_perm=self.in_perm if i == 0 else None,
+                    dtype=self.dtype,
+                    name=f"Conv_{i}",
+                )(x)
+            else:
+                # Explicit pad-1 (torch convention) rather than "SAME":
+                # identical at stride 1, but one pixel shifted at stride 2
+                # — required for reference-checkpoint parity (SURVEY.md §7).
+                x = nn.Conv(
+                    self.features,
+                    (3, 3),
+                    strides=(s, s),
+                    padding=((1, 1), (1, 1)),
+                    use_bias=False,
+                    dtype=self.dtype,
+                    name=f"Conv_{i}",
+                )(x)
+            if blocked_out:
+                x = S2DBatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    axis_name=self.axis_name if train else None,
+                    dtype=self.dtype,
+                    name=f"BatchNorm_{i}",
+                )(x)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    axis_name=self.axis_name if train else None,
+                    dtype=self.dtype,
+                    name=f"BatchNorm_{i}",
+                )(x)
             x = nn.relu(x)
         return x
 
 
 class STPNEncoder(nn.Module):
-    """Pyramid encoder: returns all 5 stage outputs (highest res first)."""
+    """Pyramid encoder: returns all 5 stage outputs (highest res first).
+
+    With `s2d=True` (models.s2d) stage 0 runs 2x2-blocked and `feats[0]`
+    is returned BLOCKED — (H/2, W/2, 4*32) — consumed by the matching
+    decoder/heads. Stages 1..4 are bitwise the plain path.
+    """
 
     axis_name: Optional[str] = None
     dtype: Dtype = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> Sequence[jnp.ndarray]:
+        from v2x_sim_tpu.models.s2d import space_to_depth
+
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.s2d:
+            x = space_to_depth(x)
         feats = []
         for i, ch in enumerate(STAGE_CHANNELS):
+            if self.s2d and i == 0:
+                mode = "s2d"
+            elif self.s2d and i == 1:
+                mode = "s2d_entry"
+            else:
+                mode = "plain"
             x = ConvBlock(
                 ch,
                 stride=1 if i == 0 else 2,
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                mode=mode,
             )(x, train)
             feats.append(x)
         return feats
 
 
 class STPNDecoder(nn.Module):
-    """Decoder with skip connections back to stage-0 resolution."""
+    """Decoder with skip connections back to stage-0 resolution.
+
+    With `s2d=True` the final (full-res) stage runs 2x2-blocked: the 2x
+    bilinear upsample lands directly in blocked layout and the output is
+    (H/2, W/2, 4*32) — same values as the plain path, different layout.
+    """
 
     axis_name: Optional[str] = None
     dtype: Dtype = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool) -> jnp.ndarray:
+        from v2x_sim_tpu.models.s2d import concat_perm, s2d_upsample2x
+
         x = feats[-1]
-        for skip in reversed(feats[:-1]):
-            h, w = skip.shape[-3], skip.shape[-2]
-            x = jax.image.resize(
-                x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
-            )
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ConvBlock(
-                skip.shape[-1], axis_name=self.axis_name, dtype=self.dtype
-            )(x, train)
-        return x  # (..., H, W, 32)
+        n_stages = len(feats) - 1
+        for idx, skip in enumerate(reversed(feats[:-1])):
+            last = idx == n_stages - 1
+            if self.s2d and last:
+                # skip is blocked stage-0 output; upsample x straight into
+                # blocked layout and fix up the concat channel order via
+                # the conv kernel's input permutation.
+                up = s2d_upsample2x(x)
+                cat = jnp.concatenate([up, skip.astype(x.dtype)], axis=-1)
+                x = ConvBlock(
+                    skip.shape[-1] // 4,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    mode="s2d",
+                    in_perm=tuple(
+                        concat_perm([x.shape[-1], skip.shape[-1] // 4])
+                    ),
+                )(cat, train)
+            else:
+                h, w = skip.shape[-3], skip.shape[-2]
+                x = jax.image.resize(
+                    x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
+                )
+                x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+                x = ConvBlock(
+                    skip.shape[-1], axis_name=self.axis_name, dtype=self.dtype
+                )(x, train)
+        return x  # (..., H, W, 32) or blocked (..., H/2, W/2, 128)
 
 
 class ClassificationHead(nn.Module):
@@ -114,12 +197,13 @@ class ClassificationHead(nn.Module):
     num_anchors: int
     num_classes: int
     dtype: Dtype = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(32, (3, 3), dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.num_anchors * self.num_classes, (1, 1), dtype=self.dtype)(x)
+        x = _head_convs(
+            x, 32, self.num_anchors * self.num_classes, self.dtype, self.s2d
+        )
         # Stay in compute dtype: a float32 cast here writes an extra
         # ~600 MB of full-res logits per production batch. Consumers
         # (losses, decode) cast the small slices they need.
@@ -132,16 +216,32 @@ class RegressionHead(nn.Module):
     num_anchors: int
     box_code_size: int = 6
     dtype: Dtype = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(32, (3, 3), dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Conv(
-            self.num_anchors * self.box_code_size, (1, 1), dtype=self.dtype
-        )(x)
+        x = _head_convs(
+            x, 32, self.num_anchors * self.box_code_size, self.dtype, self.s2d
+        )
         # No float32 cast — see ClassificationHead.
         return x.reshape(x.shape[:-1] + (self.num_anchors, self.box_code_size))
+
+
+def _head_convs(x, hidden: int, out: int, dtype, s2d: bool):
+    """Shared head body: 3x3 conv + ReLU + 1x1 conv, plain or blocked.
+
+    In blocked mode the result is converted back to plain full-res layout
+    at the end (cheap: the head output is the pipeline's smallest map)."""
+    if s2d:
+        from v2x_sim_tpu.models.s2d import S2DConv, S2DConv1x1, depth_to_space
+
+        x = S2DConv(hidden, dtype=dtype, name="Conv_0")(x)
+        x = nn.relu(x)
+        x = S2DConv1x1(out, dtype=dtype, name="Conv_1")(x)
+        return depth_to_space(x)
+    x = nn.Conv(hidden, (3, 3), dtype=dtype, name="Conv_0")(x)
+    x = nn.relu(x)
+    return nn.Conv(out, (1, 1), dtype=dtype, name="Conv_1")(x)
 
 
 def fold_agents(x: jnp.ndarray) -> jnp.ndarray:

@@ -72,18 +72,28 @@ class DetModel(nn.Module):
     kd: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[object] = None  # activation dtype (e.g. bfloat16)
+    s2d: bool = True  # blocked execution of full-res stages (models.s2d)
 
     def setup(self):
         assert self.mode in MODES, f"unknown mode {self.mode}"
-        self.encoder = STPNEncoder(axis_name=self.axis_name, dtype=self.dtype)
-        self.decoder = STPNDecoder(axis_name=self.axis_name, dtype=self.dtype)
+        # Fusion at layer 0 would warp a blocked map — fall back to plain.
+        use_s2d = self.s2d and (
+            self.mode in ("lowerbound", "upperbound") or self._layer >= 1
+        )
+        self._use_s2d = use_s2d
+        self.encoder = STPNEncoder(
+            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
+        )
+        self.decoder = STPNDecoder(
+            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
+        )
         self.cls_head = ClassificationHead(
             self.config.anchors.num_anchors, self.config.num_classes,
-            dtype=self.dtype,
+            dtype=self.dtype, s2d=use_s2d,
         )
         self.reg_head = RegressionHead(
             self.config.anchors.num_anchors, self.config.anchors.box_code_size,
-            dtype=self.dtype,
+            dtype=self.dtype, s2d=use_s2d,
         )
         grid = self.config.grid
         if self.mode == "cat":
@@ -155,6 +165,7 @@ class TeacherModel(nn.Module):
     fusion_layer: Optional[int] = None
     axis_name: Optional[str] = None
     dtype: Optional[object] = None
+    s2d: bool = True
 
     @nn.compact
     def __call__(
@@ -166,16 +177,21 @@ class TeacherModel(nn.Module):
             if self.fusion_layer is None
             else self.fusion_layer
         )
+        use_s2d = self.s2d and k >= 1  # KD feature at layer 0 stays plain
         x = fold_agents(occupancy)
-        feats = STPNEncoder(axis_name=self.axis_name, dtype=self.dtype)(x, train)
-        decoded = STPNDecoder(axis_name=self.axis_name, dtype=self.dtype)(feats, train)
+        feats = STPNEncoder(
+            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
+        )(x, train)
+        decoded = STPNDecoder(
+            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
+        )(feats, train)
         cls = ClassificationHead(
             self.config.anchors.num_anchors, self.config.num_classes,
-            dtype=self.dtype,
+            dtype=self.dtype, s2d=use_s2d,
         )(decoded)
         reg = RegressionHead(
             self.config.anchors.num_anchors, self.config.anchors.box_code_size,
-            dtype=self.dtype,
+            dtype=self.dtype, s2d=use_s2d,
         )(decoded)
         return DetOutput(
             unfold_agents(cls, a), unfold_agents(reg, a), unfold_agents(feats[k], a)

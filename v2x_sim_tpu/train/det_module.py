@@ -167,9 +167,13 @@ class DetModule:
         out = dict(batch)
         out["occupancy"] = self._model_input(batch)
         targets = self.targets_from_gt(batch["gt_boxes"], batch["gt_mask"])
-        out["labels"] = targets.labels
-        out["reg_targets"] = targets.reg_targets
-        out["reg_mask"] = targets.reg_mask
+        # Cross the jit boundary FLAT: a (B, A, H, W, K, 6) output forces
+        # the consuming step to relayout it into a ~28x padded tiling
+        # (12 GB at production batch). The loss math is flat anyway.
+        b, a = batch["agent_mask"].shape
+        out["labels"] = targets.labels.reshape(b, a, -1)
+        out["reg_targets"] = targets.reg_targets.reshape(b, a, -1)
+        out["reg_mask"] = targets.reg_mask.reshape(b, a, -1)
         if self.kd_weight > 0.0:
             out["teacher_occupancy"] = self.merged_occupancy(
                 batch["points"],
@@ -207,12 +211,16 @@ class DetModule:
             )
             new_stats = batch_stats
 
-        # Mask padded agents out of every loss term.
+        # Mask padded agents out of every loss term. Flat (B, A, HWK)
+        # views: (..., K)-minor shapes materialize ~21x padded on TPU.
         am = batch["agent_mask"]
+        b, a = am.shape
         labels = jnp.where(
-            am[:, :, None, None, None], targets.labels, -1
+            am[:, :, None], targets.labels.reshape(b, a, -1), -1
         )
-        reg_mask = targets.reg_mask * am[:, :, None, None, None]
+        reg_mask = targets.reg_mask.reshape(b, a, -1) * am[
+            :, :, None
+        ].astype(targets.reg_mask.dtype)
 
         cls_sum, num_pos = softmax_focal_loss_sum(out.cls_logits, labels)
         loc_sum, _ = smooth_l1_loss_sum(out.reg, targets.reg_targets, reg_mask)

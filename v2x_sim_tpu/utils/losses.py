@@ -39,8 +39,31 @@ def softmax_focal_loss_sum(
       (RetinaNet convention): with ~10^5 anchors and tens of positives,
       normalizing by total anchors would dilute the foreground gradient.
     """
-    logits = logits.astype(jnp.float32)  # bf16 sums over ~10^7 anchors drift
     c = logits.shape[-1]
+    if c == 2 and logits.ndim >= 3:
+        # Binary fast path on layout-safe views. Two rules, both learned
+        # from multi-GB padded HBM copies / 100x-slow backward passes at
+        # production geometry:
+        #   * never materialize a big (..., K, C)-minor tensor — fold the
+        #     trailing dims and slice the channel (like ops.postprocess);
+        #   * never stride a giant 1-D axis — its transpose (backward) is
+        #     pathological on TPU; stride the modest folded channel dim.
+        k = logits.shape[-2]
+        x = logits.reshape(logits.shape[:-2] + (k * c,))
+        rows = x.shape[0]
+        x0 = x[..., 0::c].reshape(rows, -1).astype(jnp.float32)
+        x1 = x[..., 1::c].reshape(rows, -1).astype(jnp.float32)
+        l = labels.reshape(rows, -1)
+        lse = jnp.logaddexp(x0, x1)
+        pt_log = jnp.where(l > 0, x1, x0) - lse
+        pt = jnp.exp(pt_log)
+        alpha_t = jnp.where(l > 0, alpha, 1.0 - alpha)
+        loss = -alpha_t * (1.0 - pt) ** gamma * pt_log
+        weight = (l >= 0).astype(jnp.float32)
+        num_pos = jnp.sum((l > 0).astype(jnp.float32))
+        return jnp.sum(loss * weight), num_pos
+
+    logits = logits.astype(jnp.float32)  # bf16 sums over ~10^7 anchors drift
     ignore = labels < 0
     safe_labels = jnp.clip(labels, 0, c - 1)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -70,13 +93,31 @@ def smooth_l1_loss_sum(
     Returns:
       (loss_sum, num_positive).
     """
-    pred = pred.astype(jnp.float32)
-    target = target.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
-    diff = jnp.abs(pred - target)
+    # Layout-safe formulation: fold (K, code) into one channel dim, do
+    # the elementwise Huber there, and reduce per-anchor via `code`
+    # strided slices of the modest folded channel axis (see the focal
+    # loss for the two TPU layout rules this follows).
+    code = pred.shape[-1]
+    if pred.ndim < 3:  # small/low-rank inputs: no layout concerns
+        diff = jnp.abs(
+            pred.astype(jnp.float32) - target.reshape(pred.shape).astype(jnp.float32)
+        )
+        loss = jnp.where(
+            diff < delta, 0.5 * diff * diff / delta, diff - 0.5 * delta
+        )
+        m = mask.astype(jnp.float32)
+        return jnp.sum(jnp.sum(loss, axis=-1) * m), jnp.sum(m)
+    k = pred.shape[-2]
+    x = pred.reshape(pred.shape[:-2] + (k * code,)).astype(jnp.float32)
+    t = target.reshape(x.shape).astype(jnp.float32)
+    rows = x.shape[0]
+    diff = jnp.abs(x - t)
     loss = jnp.where(diff < delta, 0.5 * diff * diff / delta, diff - 0.5 * delta)
-    loss = jnp.sum(loss, axis=-1) * mask
-    return jnp.sum(loss), jnp.sum(mask)
+    per_anchor = sum(
+        loss[..., j::code].reshape(rows, -1) for j in range(code)
+    )
+    m = mask.reshape(rows, -1).astype(jnp.float32)
+    return jnp.sum(per_anchor * m), jnp.sum(m)
 
 
 def seg_cross_entropy_sum(
