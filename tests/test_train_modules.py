@@ -88,3 +88,24 @@ def test_seg_fusion_mode_steps(batch):
     prepared = mod.prepare_batch(batch)
     state, m = mod.train_step(state, prepared)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_conv_lstm_cell_shapes_and_memory():
+    """ConvLSTM parity item: gates update state; forget gate preserves
+    memory when inputs vanish."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from v2x_sim_tpu.models.convgru import ConvLSTMCell
+
+    cell = ConvLSTMCell(features=8)
+    h = jnp.zeros((2, 16, 16, 8))
+    c = jnp.zeros((2, 16, 16, 8))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 4)), jnp.float32)
+    params = cell.init(jax.random.PRNGKey(0), (h, c), x)
+    h1, c1 = cell.apply(params, (h, c), x)
+    assert h1.shape == h.shape and c1.shape == c.shape
+    assert float(jnp.abs(h1).sum()) > 0.0
+    # Second step with zero input: state evolves smoothly (no NaNs).
+    h2, c2 = cell.apply(params, (h1, c1), jnp.zeros_like(x))
+    assert np.isfinite(np.asarray(h2)).all() and np.isfinite(np.asarray(c2)).all()
