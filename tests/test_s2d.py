@@ -113,3 +113,39 @@ def test_det_model_s2d_matches_plain():
             flat_b[jax.tree_util.keystr(k)], np.asarray(v), atol=2e-4,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_blocked_training_loss_matches_standard():
+    """DetModule's blocked-head training path must produce the same loss
+    as an unblocked module (same params, targets permuted to match)."""
+    import jax.numpy as jnp
+    from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
+    from v2x_sim_tpu.train.det_module import DetModule
+
+    cfg = Config(grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)))
+    spec = SyntheticSpec(
+        num_vehicles=4, points_per_agent=512, max_gt=8, points_per_vehicle=32
+    )
+    raw = generate_batch(cfg, spec, batch_size=1, seed=5)
+    batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+
+    mod_b = DetModule(cfg, mode="disco")
+    assert mod_b._blocked
+    mod_p = DetModule(cfg, mode="disco")
+    mod_p._blocked = False
+    mod_p.model = mod_p.eval_model  # plain heads + plain-order targets
+
+    state = mod_b.init(jax.random.PRNGKey(0), batch)
+    prep_b = mod_b.prepare_batch(batch)
+    prep_p = mod_p.prepare_batch(batch)
+    _, (_, metrics_b) = mod_b.loss_fn(
+        state.params, state.batch_stats, prep_b, None, True
+    )
+    _, (_, metrics_p) = mod_p.loss_fn(
+        state.params, state.batch_stats, prep_p, None, True
+    )
+    for key in ("cls_loss", "loc_loss", "loss"):
+        np.testing.assert_allclose(
+            float(metrics_b[key]), float(metrics_p[key]), rtol=1e-4,
+            err_msg=key,
+        )

@@ -198,16 +198,23 @@ class ClassificationHead(nn.Module):
     num_classes: int
     dtype: Dtype = None
     s2d: bool = False
+    blocked_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = _head_convs(
-            x, 32, self.num_anchors * self.num_classes, self.dtype, self.s2d
+            x,
+            32,
+            self.num_anchors * self.num_classes,
+            self.dtype,
+            self.s2d,
+            self.blocked_out,
         )
+        k = self.num_anchors * (4 if (self.s2d and self.blocked_out) else 1)
         # Stay in compute dtype: a float32 cast here writes an extra
         # ~600 MB of full-res logits per production batch. Consumers
         # (losses, decode) cast the small slices they need.
-        return x.reshape(x.shape[:-1] + (self.num_anchors, self.num_classes))
+        return x.reshape(x.shape[:-1] + (k, self.num_classes))
 
 
 class RegressionHead(nn.Module):
@@ -217,28 +224,37 @@ class RegressionHead(nn.Module):
     box_code_size: int = 6
     dtype: Dtype = None
     s2d: bool = False
+    blocked_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = _head_convs(
-            x, 32, self.num_anchors * self.box_code_size, self.dtype, self.s2d
+            x,
+            32,
+            self.num_anchors * self.box_code_size,
+            self.dtype,
+            self.s2d,
+            self.blocked_out,
         )
+        k = self.num_anchors * (4 if (self.s2d and self.blocked_out) else 1)
         # No float32 cast — see ClassificationHead.
-        return x.reshape(x.shape[:-1] + (self.num_anchors, self.box_code_size))
+        return x.reshape(x.shape[:-1] + (k, self.box_code_size))
 
 
-def _head_convs(x, hidden: int, out: int, dtype, s2d: bool):
+def _head_convs(x, hidden: int, out: int, dtype, s2d: bool, blocked_out: bool):
     """Shared head body: 3x3 conv + ReLU + 1x1 conv, plain or blocked.
 
-    In blocked mode the result is converted back to plain full-res layout
-    at the end (cheap: the head output is the pipeline's smallest map)."""
+    In blocked mode the result converts back to plain full-res layout at
+    the end UNLESS blocked_out is set — the training path keeps heads
+    blocked (and blocks the targets to match) so no transpose sits on the
+    gradient path."""
     if s2d:
         from v2x_sim_tpu.models.s2d import S2DConv, S2DConv1x1, depth_to_space
 
         x = S2DConv(hidden, dtype=dtype, name="Conv_0")(x)
         x = nn.relu(x)
         x = S2DConv1x1(out, dtype=dtype, name="Conv_1")(x)
-        return depth_to_space(x)
+        return x if blocked_out else depth_to_space(x)
     x = nn.Conv(hidden, (3, 3), dtype=dtype, name="Conv_0")(x)
     x = nn.relu(x)
     return nn.Conv(out, (1, 1), dtype=dtype, name="Conv_1")(x)

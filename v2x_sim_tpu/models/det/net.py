@@ -73,6 +73,11 @@ class DetModel(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[object] = None  # activation dtype (e.g. bfloat16)
     s2d: bool = True  # blocked execution of full-res stages (models.s2d)
+    #: Keep head outputs in blocked layout — (B, A, H/2, W/2, 4K, C) with
+    #: anchor index p*K + k for 2x2 phase p. The training path uses this
+    #: (targets are blocked to match; see train.det_module) so no
+    #: transpose sits on the gradient path. Requires s2d active.
+    blocked_heads: bool = False
 
     def setup(self):
         assert self.mode in MODES, f"unknown mode {self.mode}"
@@ -81,6 +86,7 @@ class DetModel(nn.Module):
             self.mode in ("lowerbound", "upperbound") or self._layer >= 1
         )
         self._use_s2d = use_s2d
+        blocked = use_s2d and self.blocked_heads
         self.encoder = STPNEncoder(
             axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
         )
@@ -89,11 +95,11 @@ class DetModel(nn.Module):
         )
         self.cls_head = ClassificationHead(
             self.config.anchors.num_anchors, self.config.num_classes,
-            dtype=self.dtype, s2d=use_s2d,
+            dtype=self.dtype, s2d=use_s2d, blocked_out=blocked,
         )
         self.reg_head = RegressionHead(
             self.config.anchors.num_anchors, self.config.anchors.box_code_size,
-            dtype=self.dtype, s2d=use_s2d,
+            dtype=self.dtype, s2d=use_s2d, blocked_out=blocked,
         )
         grid = self.config.grid
         if self.mode == "cat":

@@ -75,7 +75,21 @@ class DetModule:
         self.axis_name = axis_name
         self.compute_dtype = compute_dtype
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
+        # Blocked heads (s2d layout) on the training path: targets are
+        # blocked to match, so no transpose sits on the gradient path.
+        # The eval/predict path uses standard-layout heads (same params).
+        self._blocked = mode in ("lowerbound", "upperbound") or (
+            config.fusion_layer >= 1
+        )
         self.model = DetModel(
+            config=config,
+            mode=mode,
+            kd=kd_weight > 0.0,
+            axis_name=axis_name,
+            dtype=model_dtype,
+            blocked_heads=self._blocked,
+        )
+        self.eval_model = DetModel(
             config=config,
             mode=mode,
             kd=kd_weight > 0.0,
@@ -171,9 +185,10 @@ class DetModule:
         # the consuming step to relayout it into a ~28x padded tiling
         # (12 GB at production batch). The loss math is flat anyway.
         b, a = batch["agent_mask"].shape
-        out["labels"] = targets.labels.reshape(b, a, -1)
-        out["reg_targets"] = targets.reg_targets.reshape(b, a, -1)
-        out["reg_mask"] = targets.reg_mask.reshape(b, a, -1)
+        lab, reg, msk = self._flat_targets(targets, b, a)
+        out["labels"] = lab
+        out["reg_targets"] = reg
+        out["reg_mask"] = msk
         if self.kd_weight > 0.0:
             out["teacher_occupancy"] = self.merged_occupancy(
                 batch["points"],
@@ -182,6 +197,29 @@ class DetModule:
                 batch["agent_mask"],
             )
         return out
+
+    def _flat_targets(self, targets: AnchorTargets, b: int, a: int):
+        """Targets as flat (B, A, N) arrays, permuted into the blocked
+        (space-to-depth) anchor order when the training heads are blocked
+        so logits and targets share one flattening."""
+        lab = targets.labels
+        reg = targets.reg_targets
+        msk = targets.reg_mask
+        if self._blocked:
+            from v2x_sim_tpu.models.s2d import space_to_depth
+
+            h, w, k = lab.shape[-3:]
+            blk = lambda x, c: space_to_depth(
+                x.reshape(b * a, h, w, c)
+            )
+            lab = blk(lab, k)
+            reg = blk(reg, k * reg.shape[-1])
+            msk = blk(msk, k)
+        return (
+            lab.reshape(b, a, -1),
+            reg.reshape(b, a, -1),
+            msk.reshape(b, a, -1),
+        )
 
     def loss_fn(
         self, params, batch_stats, batch, teacher_vars=None, train=True
@@ -192,7 +230,10 @@ class DetModule:
                 batch["labels"], batch["reg_targets"], batch["reg_mask"], None
             )
         else:
-            targets = self.targets_from_gt(batch["gt_boxes"], batch["gt_mask"])
+            full = self.targets_from_gt(batch["gt_boxes"], batch["gt_mask"])
+            b, a = batch["agent_mask"].shape
+            lab, reg, msk = self._flat_targets(full, b, a)
+            targets = AnchorTargets(lab, reg, msk, None)
 
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
@@ -331,7 +372,7 @@ class DetModule:
 
         k = max_boxes or self.config.max_boxes
         occ = self._model_input(batch)
-        out = self.model.apply(
+        out = self.eval_model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             occ,
             batch["trans"],
