@@ -75,6 +75,13 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--bf16", action="store_true", help="bfloat16 activations (MXU fast path)"
     )
+    p.add_argument(
+        "--use_vis",
+        type=int,
+        default=0,
+        help="feed visibility maps (reference vis_maps) as extra input "
+        "channels; bake them with create_data --vis for full-speed runs",
+    )
 
 
 def build_config(args) -> Config:

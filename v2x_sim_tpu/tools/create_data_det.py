@@ -23,7 +23,34 @@ def parse_args():
     p.add_argument("--grid", default="full", choices=["full", "small"])
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--vis",
+        type=int,
+        default=0,
+        help="also bake per-agent visibility maps (ops.visibility) into "
+        "the cache, like the reference's vis_maps",
+    )
+    p.add_argument(
+        "--vis_samples", type=int, default=128, help="ray samples per point"
+    )
     return p.parse_args()
+
+
+def _add_vis(frame, config, num_samples):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2x_sim_tpu.ops.visibility import visibility_batch
+
+    vis = visibility_batch(
+        jnp.asarray(frame["points"]),
+        jnp.asarray(frame["point_mask"]),
+        config.grid,
+        num_samples=num_samples,
+    )
+    frame = dict(frame)
+    frame["vis_maps"] = np.asarray(vis, dtype=np.int8)
+    return frame
 
 
 def main():
@@ -49,6 +76,8 @@ def main():
                 frame = generate_scene(
                     config, spec, seed=args.seed + si * 10_007 + fi
                 )
+                if args.vis:
+                    frame = _add_vis(frame, config, args.vis_samples)
                 save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame)
                 count += 1
     else:
@@ -59,7 +88,10 @@ def main():
         )
         ds = V2XSimDataset(args.root, config, version=version, use_rsu=bool(args.rsu))
         for i in range(len(ds)):
-            save_frame(out, f"frame{i:06d}", ds[i])
+            frame = ds[i]
+            if args.vis:
+                frame = _add_vis(frame, config, args.vis_samples)
+            save_frame(out, f"frame{i:06d}", frame)
             count += 1
     print(f"wrote {count} frames to {out}")
 

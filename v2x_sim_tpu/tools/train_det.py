@@ -79,6 +79,7 @@ def main():
         mgda=args.mgda,
         axis_name=axis,
         compute_dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32,
+        use_vis=bool(args.use_vis),
     )
 
     first = next(make_batches(args, config, num_batches=1))

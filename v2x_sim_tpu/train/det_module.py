@@ -67,6 +67,7 @@ class DetModule:
         mgda: bool = False,
         axis_name: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
+        use_vis: bool = False,
     ):
         self.config = config
         self.mode = mode
@@ -74,6 +75,7 @@ class DetModule:
         self.mgda = mgda
         self.axis_name = axis_name
         self.compute_dtype = compute_dtype
+        self.use_vis = use_vis
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         # Blocked heads (s2d layout) on the training path: targets are
         # blocked to match, so no transpose sits on the gradient path.
@@ -164,13 +166,38 @@ class DetModule:
         if "occupancy" in batch:
             return batch["occupancy"]
         if self.mode == "upperbound":
-            return self.merged_occupancy(
+            occ = self.merged_occupancy(
                 batch["points"],
                 batch["point_mask"],
                 batch["trans"],
                 batch["agent_mask"],
             )
-        return self.occupancy_from_points(batch["points"], batch["point_mask"])
+        else:
+            occ = self.occupancy_from_points(
+                batch["points"], batch["point_mask"]
+            )
+        if self.use_vis:
+            occ = jnp.concatenate(
+                [occ, self._vis_input(batch)], axis=-1
+            )
+        return occ
+
+    def _vis_input(self, batch):
+        """Visibility channels (reference vis_maps — SURVEY.md §2.1),
+        scaled to [0, 1]. Prefer cache-baked maps (create_data --vis); the
+        on-device fallback ray-carves per step, which is preprocessing-
+        grade cost and logged as such in docs/PERF.md."""
+        if "vis_maps" in batch:
+            vis = batch["vis_maps"]
+        else:
+            from v2x_sim_tpu.ops.visibility import visibility_batch
+
+            vis = visibility_batch(
+                batch["points"], batch["point_mask"], self.config.grid
+            )
+        from v2x_sim_tpu.ops.visibility import OCCUPIED
+
+        return vis.astype(self.compute_dtype) / OCCUPIED
 
     def _prepare_batch_impl(self, batch):
         """One-time per-batch device preprocessing: voxelize the padded
