@@ -50,19 +50,30 @@ def main() -> None:
     module = DetModule(cfg, mode="disco", compute_dtype=jnp.bfloat16)
     state = module.init(jax.random.PRNGKey(0), batch)
 
-    def run(batch):
-        # 128 NMS candidates per agent: plenty for <=32 GT/scene, and the
-        # K x K suppression matrix stays in the fast einsum regime.
-        return module.predict(state, batch, 128, 0.1, 0.3)
+    # 128 NMS candidates per agent: plenty for <=32 GT/scene, and the
+    # K x K suppression matrix stays in the fast einsum regime.
+    #
+    # Measurement honesty on the axon tunnel: block_until_ready can return
+    # before remote execution completes, so each step's input depends on
+    # the previous step's output (eps-perturbed points) and the clock only
+    # stops on a host fetch of the final carry — the full chain of STEPS
+    # executions must have run on device (docs/PERF.md methodology).
+    @jax.jit
+    def step(batch, carry):
+        b2 = dict(batch)
+        b2["points"] = batch["points"] + 1e-12 * carry
+        res = module._predict_impl(state, b2, 128, 0.1, 0.3)
+        return res, res.scores.ravel()[0]
 
     # Warmup / compile.
-    out = run(batch)
-    jax.block_until_ready(out)
+    out, carry = step(batch, jnp.float32(0.0))
+    _ = float(carry)
 
     t0 = time.perf_counter()
+    carry = jnp.float32(0.0)
     for _ in range(STEPS):
-        out = run(batch)
-    jax.block_until_ready(out)
+        out, carry = step(batch, carry)
+    _ = float(carry)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = BATCH * STEPS / dt

@@ -103,3 +103,43 @@ def test_late_fuse_deduplicates():
     assert int(res.valid[0, 0].sum()) == 1
     # The higher-scoring duplicate (agent 1's) wins.
     assert float(res.scores[0, 0].max()) > 0.85
+
+
+def test_decode_topk_blocked_matches_plain():
+    """Blocked-layout decode == plain decode on the same logical maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2x_sim_tpu.configs.config import Config, GridConfig
+    from v2x_sim_tpu.models.s2d import depth_to_space
+    from v2x_sim_tpu.ops.anchors import anchor_grid
+    from v2x_sim_tpu.ops.postprocess import decode_topk, decode_topk_blocked
+
+    cfg = Config(grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)))  # 64x64x8
+    h, w = cfg.grid.bev_shape
+    kk = cfg.anchors.num_anchors
+    b, a, nc, code = 2, 3, 2, 6
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    # Blocked head outputs: (B, A, h/2, w/2, 4K, C), phase-major anchors.
+    cls_blk = jax.random.normal(k1, (b, a, h // 2, w // 2, 4 * kk, nc))
+    reg_blk = jax.random.normal(k2, (b, a, h // 2, w // 2, 4 * kk, code)) * 0.1
+    am = jnp.ones((b, a), bool)
+
+    # Plain view of the same maps: undo the 2x2 blocking channel-wise.
+    def unblock(x):
+        lead = x.shape[:2]
+        flat = x.reshape(lead + (h // 2, w // 2, -1))  # (…, 4*K*C)
+        plain = depth_to_space(flat.reshape((-1,) + flat.shape[2:]))
+        return plain.reshape(lead + (h, w, kk, x.shape[-1]))
+
+    cls_p, reg_p = unblock(cls_blk), unblock(reg_blk)
+    anchors = jnp.asarray(anchor_grid(cfg))
+
+    ref = decode_topk(cls_p, reg_p, anchors, 32, 0.3, am, exact=True)
+    got = decode_topk_blocked(cls_blk, reg_blk, cfg, 32, 0.3, am, exact=True)
+    for r, g, name in zip(ref, got, ("boxes", "scores", "valid")):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(g, np.float32),
+            atol=1e-5, err_msg=name,
+        )

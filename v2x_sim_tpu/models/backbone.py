@@ -147,24 +147,55 @@ class STPNEncoder(nn.Module):
 class STPNDecoder(nn.Module):
     """Decoder with skip connections back to stage-0 resolution.
 
-    With `s2d=True` the final (full-res) stage runs 2x2-blocked: the 2x
-    bilinear upsample lands directly in blocked layout and the output is
-    (H/2, W/2, 4*32) — same values as the plain path, different layout.
+    With `s2d=True` the last `s2d_stages` (low-channel, high-res) stages
+    run 2x2-blocked: the 2x bilinear upsample lands directly in blocked
+    layout and the final output is (H/2, W/2, 4*32) — same values as the
+    plain path, different layout. `s2d_stages=2` additionally blocks the
+    second-to-last stage; measured SLOWER in-model on v5e (the
+    space_to_depth/depth_to_space relayouts around it outweigh the conv
+    speedup: 58.2 -> 62.9 ms/B16 forward), so the default stays 1.
     """
 
     axis_name: Optional[str] = None
     dtype: Dtype = None
     s2d: bool = False
+    #: trailing decoder stages executed blocked when s2d is on (1 or 2).
+    s2d_stages: int = 1
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool) -> jnp.ndarray:
-        from v2x_sim_tpu.models.s2d import concat_perm, s2d_upsample2x
+        from v2x_sim_tpu.models.s2d import (
+            concat_perm,
+            depth_to_space,
+            s2d_upsample2x,
+            space_to_depth,
+        )
 
         x = feats[-1]
         n_stages = len(feats) - 1
         for idx, skip in enumerate(reversed(feats[:-1])):
             last = idx == n_stages - 1
-            if self.s2d and last:
+            second_last = idx == n_stages - 2
+            if self.s2d and second_last and self.s2d_stages >= 2:
+                # skip is a plain encoder map: block it to match the
+                # blocked upsample of x; same math as the plain branch.
+                up = s2d_upsample2x(x)
+                skip_b = space_to_depth(skip.astype(x.dtype))
+                cat = jnp.concatenate([up, skip_b], axis=-1)
+                x = ConvBlock(
+                    skip.shape[-1],
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    mode="s2d",
+                    in_perm=tuple(
+                        concat_perm([x.shape[-1], skip.shape[-1]])
+                    ),
+                )(cat, train)
+                # Bridge back to plain layout for the final stage's
+                # plain-input upsample (a relayout copy, ~1% of the
+                # stage's conv time).
+                x = depth_to_space(x)
+            elif self.s2d and last:
                 # skip is blocked stage-0 output; upsample x straight into
                 # blocked layout and fix up the concat channel order via
                 # the conv kernel's input permutation.

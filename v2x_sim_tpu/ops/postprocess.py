@@ -87,6 +87,76 @@ def decode_topk(
     return boxes, top_scores, valid
 
 
+def decode_topk_blocked(
+    cls_blk: jnp.ndarray,
+    reg_blk: jnp.ndarray,
+    config,
+    k: int,
+    score_threshold: float,
+    agent_mask: jnp.ndarray,
+    exact: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`decode_topk` on space-to-depth (blocked) head outputs.
+
+    Consumes the training-layout heads directly — (B, A, H/2, W/2, 4*K,
+    C) with anchor index p*K + k for 2x2 phase p (models.s2d) — so the
+    predict path never pays the depth_to_space transpose of the two
+    full-res head maps (~600 MB of tiny-minor-dim tensors per production
+    batch). Anchors are reconstructed analytically from the decoded cell
+    index (the grid is regular), which also drops the (H*W*K, 5) anchor
+    table gather. Returns exactly `decode_topk`'s contract.
+
+    Args:
+      cls_blk: (B, A, H/2, W/2, 4*K_anchor, C) blocked class logits.
+      reg_blk: (B, A, H/2, W/2, 4*K_anchor, code) blocked reg deltas.
+      config: static Config (grid geometry + anchor table).
+    """
+    import numpy as np
+
+    b, a, h2, w2, k4, nc = cls_blk.shape
+    kk = k4 // 4
+    code = reg_blk.shape[-1]
+    cls_flat = cls_blk.reshape(b * a, h2, w2, k4 * nc)
+    reg_flat = reg_blk.reshape(b * a, h2 * w2, k4 * code)
+    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(b * a, -1)
+
+    if exact:
+        top_diff, top_idx = jax.lax.top_k(diff, k)
+    else:
+        top_diff, top_idx = jax.lax.approx_max_k(diff, k, recall_target=0.99)
+    top_scores = jax.nn.sigmoid(top_diff.astype(jnp.float32)).reshape(b, a, k)
+
+    cell = top_idx // k4  # blocked cell = hi2 * w2 + wi2
+    pk = top_idx % k4  # phase-major anchor index = p * K + k
+    p, ki = pk // kk, pk % kk
+    hi = 2 * (cell // w2) + p // 2
+    wi = 2 * (cell % w2) + p % 2
+
+    rows = jnp.take_along_axis(reg_flat, cell[..., None], axis=1)
+    lanes = pk[..., None] * code + jnp.arange(code)
+    top_codes = (
+        jnp.take_along_axis(rows, lanes, axis=-1)
+        .reshape(b, a, k, code)
+        .astype(jnp.float32)
+    )
+
+    # Analytic anchors: centers from the regular grid, (l, w, yaw) via a
+    # tiny one-hot contraction against the K-row anchor table.
+    g = config.grid
+    cx = g.lower[0] + (hi.astype(jnp.float32) + 0.5) * g.voxel_size[0]
+    cy = g.lower[1] + (wi.astype(jnp.float32) + 0.5) * g.voxel_size[1]
+    table = jnp.asarray(np.asarray(config.anchors.sizes, np.float32))
+    ksel = (ki[..., None] == jnp.arange(kk)).astype(jnp.float32)
+    lwy = jnp.einsum("nki,ic->nkc", ksel, table)
+    top_anchors = jnp.concatenate(
+        [cx[..., None], cy[..., None], lwy], axis=-1
+    ).reshape(b, a, k, 5)
+
+    boxes = decode_boxes(top_codes, top_anchors)
+    valid = (top_scores > score_threshold) & agent_mask[..., None]
+    return boxes, top_scores, valid
+
+
 def transform_boxes(boxes: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Apply a rigid 4x4 transform to (..., 5) BEV boxes.
 

@@ -395,23 +395,38 @@ class DetModule:
 
         Returns per-(batch, agent) NMSResult with (K, 5) boxes.
         """
-        from v2x_sim_tpu.ops.postprocess import decode_topk
+        from v2x_sim_tpu.ops.postprocess import decode_topk, decode_topk_blocked
 
         k = max_boxes or self.config.max_boxes
         occ = self._model_input(batch)
-        out = self.eval_model.apply(
+        # Blocked path: run the training-layout (space-to-depth) heads and
+        # decode straight from the blocked maps — skips the depth_to_space
+        # transpose of both full-res head outputs (ops.postprocess.
+        # decode_topk_blocked).
+        model = self.model if self._blocked else self.eval_model
+        out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             occ,
             batch["trans"],
             batch["agent_mask"],
             train=False,
         )
-        boxes, top_scores, valid = decode_topk(
-            out.cls_logits,
-            out.reg,
-            self.anchors,
-            k,
-            score_threshold,
-            batch["agent_mask"],
-        )
+        if self._blocked:
+            boxes, top_scores, valid = decode_topk_blocked(
+                out.cls_logits,
+                out.reg,
+                self.config,
+                k,
+                score_threshold,
+                batch["agent_mask"],
+            )
+        else:
+            boxes, top_scores, valid = decode_topk(
+                out.cls_logits,
+                out.reg,
+                self.anchors,
+                k,
+                score_threshold,
+                batch["agent_mask"],
+            )
         return batched_nms(boxes, top_scores, valid, nms_iou)
