@@ -24,7 +24,9 @@ import time
 # (6-agent scenes/sec, forward + postprocess). See BASELINE.md.
 REFERENCE_GPU_SCENES_PER_SEC = 30.0
 
-BATCH = 16  # single-chip throughput sweet spot (B=8: 175/s, B=32: 177/s)
+import os as _os
+
+BATCH = int(_os.environ.get("V2X_BENCH_BATCH", "16"))  # sweet spot; see docs/PERF.md
 STEPS = 20
 
 
@@ -58,12 +60,20 @@ def main() -> None:
     # the previous step's output (eps-perturbed points) and the clock only
     # stops on a host fetch of the final carry — the full chain of STEPS
     # executions must have run on device (docs/PERF.md methodology).
+    # The carry must reduce over EVERY output: a single-element carry lets
+    # XLA dead-code-eliminate whole output paths (e.g. the reg head + NMS
+    # if only scores[0] is consumed).
     @jax.jit
     def step(batch, carry):
         b2 = dict(batch)
         b2["points"] = batch["points"] + 1e-12 * carry
         res = module._predict_impl(state, b2, 128, 0.1, 0.3)
-        return res, res.scores.ravel()[0]
+        full = (
+            res.boxes.astype(jnp.float32).sum()
+            + res.scores.astype(jnp.float32).sum()
+            + res.valid.astype(jnp.float32).sum()
+        )
+        return res, full
 
     # Warmup / compile.
     out, carry = step(batch, jnp.float32(0.0))
