@@ -132,7 +132,13 @@ def decode_topk_blocked(
     hi = 2 * (cell // w2) + p // 2
     wi = 2 * (cell % w2) + p % 2
 
-    rows = jnp.take_along_axis(reg_flat, cell[..., None], axis=1)
+    # Row fetch as a one-hot MXU matmul (the iota-compare fuses into the
+    # dot operand): ~10x a take_along_axis row gather on TPU for these
+    # shapes. Lane select stays a tiny take_along_axis over 4K*code.
+    sel = (cell[:, :, None] == jnp.arange(h2 * w2)[None, None, :]).astype(
+        reg_flat.dtype
+    )
+    rows = jnp.einsum("nkr,nrc->nkc", sel, reg_flat)
     lanes = pk[..., None] * code + jnp.arange(code)
     top_codes = (
         jnp.take_along_axis(rows, lanes, axis=-1)
