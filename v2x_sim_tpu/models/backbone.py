@@ -163,7 +163,14 @@ class STPNDecoder(nn.Module):
     s2d_stages: int = 1
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool) -> jnp.ndarray:
+    def __call__(
+        self,
+        feats: Sequence[jnp.ndarray],
+        train: bool,
+        num_stages: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """`num_stages` truncates the loop (profiling only — see
+        tools/profile_det)."""
         from v2x_sim_tpu.models.s2d import (
             concat_perm,
             depth_to_space,
@@ -174,6 +181,8 @@ class STPNDecoder(nn.Module):
         x = feats[-1]
         n_stages = len(feats) - 1
         for idx, skip in enumerate(reversed(feats[:-1])):
+            if num_stages is not None and idx >= num_stages:
+                break
             last = idx == n_stages - 1
             second_last = idx == n_stages - 2
             if self.s2d and second_last and self.s2d_stages >= 2:
