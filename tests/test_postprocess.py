@@ -143,3 +143,45 @@ def test_decode_topk_blocked_matches_plain():
             np.asarray(r, np.float32), np.asarray(g, np.float32),
             atol=1e-5, err_msg=name,
         )
+
+
+def test_decode_topk_blocked_lazy_matches_standard():
+    """Lazy decode (reg 1x1 conv at top-K cells) == standard blocked
+    decode on the full reg map produced by the same conv."""
+    import jax
+    import jax.numpy as jnp
+
+    from v2x_sim_tpu.configs.config import Config, GridConfig
+    from v2x_sim_tpu.ops.postprocess import (
+        decode_topk_blocked,
+        decode_topk_blocked_lazy,
+    )
+
+    cfg = Config(grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)))  # 64x64x8
+    h, w = cfg.grid.bev_shape
+    kk = cfg.anchors.num_anchors
+    b, a, nc, code, hid = 2, 3, 2, 6, 32
+    key = jax.random.PRNGKey(8)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    cls_blk = jax.random.normal(k1, (b, a, h // 2, w // 2, 4 * kk, nc))
+    hidden = jax.nn.relu(
+        jax.random.normal(k2, (b, a, h // 2, w // 2, 4 * hid))
+    )
+    w1 = jax.random.normal(k3, (1, 1, hid, kk * code)) * 0.1
+    b1 = jax.random.normal(k4, (kk * code,)) * 0.1
+
+    # Full reg map via the S2DConv1x1 semantics (per-phase matmul).
+    xg = hidden.reshape(b, a, h // 2, w // 2, 4, hid)
+    full = xg @ w1[0, 0] + b1  # (…, 4, K*code)
+    reg_blk = full.reshape(b, a, h // 2, w // 2, 4 * kk, code)
+
+    am = jnp.ones((b, a), bool)
+    ref = decode_topk_blocked(cls_blk, reg_blk, cfg, 32, 0.3, am, exact=True)
+    got = decode_topk_blocked_lazy(
+        cls_blk, hidden, w1, b1, cfg, 32, 0.3, am, exact=True
+    )
+    for r, g, name in zip(ref, got, ("boxes", "scores", "valid")):
+        np.testing.assert_allclose(
+            np.asarray(r, np.float32), np.asarray(g, np.float32),
+            atol=1e-4, err_msg=name,
+        )

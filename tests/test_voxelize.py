@@ -55,3 +55,32 @@ def test_batch_shape():
     mask = np.ones((2, 3, 100), bool)
     occ = voxelize_batch(jnp.asarray(pts), jnp.asarray(mask), GRID)
     assert occ.shape == (2, 3) + GRID.grid_shape
+
+
+def test_blocked_matches_space_to_depth():
+    from v2x_sim_tpu.models.s2d import space_to_depth
+    from v2x_sim_tpu.ops.voxelize import voxelize_blocked
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-33, 33, (500, 3)).astype(np.float32)
+    mask = rng.random(500) < 0.9
+    plain = voxelize(jnp.asarray(pts), jnp.asarray(mask), GRID)
+    blocked = voxelize_blocked(jnp.asarray(pts), jnp.asarray(mask), GRID)
+    np.testing.assert_array_equal(
+        np.asarray(blocked), np.asarray(space_to_depth(plain))
+    )
+
+
+def test_blocked_dtype_batch():
+    from v2x_sim_tpu.ops.voxelize import voxelize_batch
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-30, 30, (2, 3, 64, 3)).astype(np.float32)
+    mask = np.ones((2, 3, 64), bool)
+    occ = voxelize_batch(
+        jnp.asarray(pts), jnp.asarray(mask), GRID,
+        dtype=jnp.bfloat16, blocked=True,
+    )
+    h, w, d = GRID.grid_shape
+    assert occ.shape == (2, 3, h // 2, w // 2, 4 * d)
+    assert occ.dtype == jnp.bfloat16

@@ -33,8 +33,55 @@ STAGE_CHANNELS: Tuple[int, ...] = (32, 64, 128, 256, 512)
 Dtype = Any
 
 
+class _SplitConv(nn.Module):
+    """3x3 conv over a LOGICAL concatenation of two operands, applied as
+    two convs with sliced halves of one (3, 3, Ca+Cb, Cout) kernel.
+
+    Same math and the same param tree as conv(concat(a, b)), without
+    materializing the concatenated map: at decoder geometry the
+    concat+pad+relayout of the 192-channel full-res map cost ~3.9 ms of
+    pure HBM traffic per batch (docs/PERF.md). `phases=4` applies the
+    s2d kernel transform per half, which also replaces the concat_perm
+    input permutation (each half's blocked layout matches its own
+    transformed kernel directly)."""
+
+    features: int
+    phases: int = 1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        from v2x_sim_tpu.models.s2d import s2d_conv, s2d_kernel
+
+        ca = a.shape[-1] // self.phases
+        cb = b.shape[-1] // self.phases
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, ca + cb, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or kernel.dtype
+        kernel = kernel.astype(dtype)
+        ka, kb = kernel[:, :, :ca], kernel[:, :, ca:]
+        a = a.astype(dtype)
+        b = b.astype(dtype)
+        if self.phases == 4:
+            return s2d_conv(a, s2d_kernel(ka), True) + s2d_conv(
+                b, s2d_kernel(kb), True
+            )
+        conv = lambda x, k: jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return conv(a, ka) + conv(b, kb)
+
+
 class ConvBlock(nn.Module):
     """Two 3x3 conv + BN + ReLU layers; optional stride-2 on the first.
+
+    Pass `skip` to treat the first conv's input as concat([x, skip])
+    without materializing the concatenation (_SplitConv).
 
     `mode` selects the execution layout (same params, same math —
     models.s2d):
@@ -53,7 +100,12 @@ class ConvBlock(nn.Module):
     in_perm: Optional[tuple] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool,
+        skip: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         from v2x_sim_tpu.models.s2d import S2DBatchNorm, S2DConv
 
         for i, s in enumerate((self.stride, 1)):
@@ -63,7 +115,15 @@ class ConvBlock(nn.Module):
             blocked_out = self.mode == "s2d" or (
                 self.mode == "s2d_entry" and i == 0 and s == 1
             )
-            if blocked_in:
+            if i == 0 and skip is not None:
+                assert s == 1 and self.mode in ("plain", "s2d")
+                x = _SplitConv(
+                    self.features,
+                    phases=4 if blocked_in else 1,
+                    dtype=self.dtype,
+                    name="Conv_0",
+                )(x, skip)
+            elif blocked_in:
                 x = S2DConv(
                     self.features,
                     stride=s,
@@ -118,12 +178,17 @@ class STPNEncoder(nn.Module):
     s2d: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> Sequence[jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, train: bool, pre_blocked: bool = False
+    ) -> Sequence[jnp.ndarray]:
+        """`pre_blocked`: the input already has s2d layout (H/2, W/2, 4D)
+        — produced by ops.voxelize.voxelize_blocked, skipping the ~1.8 ms
+        full-res relayout of the occupancy (docs/PERF.md)."""
         from v2x_sim_tpu.models.s2d import space_to_depth
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        if self.s2d:
+        if self.s2d and not pre_blocked:
             x = space_to_depth(x)
         feats = []
         for i, ch in enumerate(STAGE_CHANNELS):
@@ -206,28 +271,24 @@ class STPNDecoder(nn.Module):
                 x = depth_to_space(x)
             elif self.s2d and last:
                 # skip is blocked stage-0 output; upsample x straight into
-                # blocked layout and fix up the concat channel order via
-                # the conv kernel's input permutation.
+                # blocked layout. The logical concat with the skip runs as
+                # a split conv (_SplitConv) — no concatenated map, no
+                # concat_perm.
                 up = s2d_upsample2x(x)
-                cat = jnp.concatenate([up, skip.astype(x.dtype)], axis=-1)
                 x = ConvBlock(
                     skip.shape[-1] // 4,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     mode="s2d",
-                    in_perm=tuple(
-                        concat_perm([x.shape[-1], skip.shape[-1] // 4])
-                    ),
-                )(cat, train)
+                )(up, train, skip=skip.astype(x.dtype))
             else:
                 h, w = skip.shape[-3], skip.shape[-2]
                 x = jax.image.resize(
                     x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
                 )
-                x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
                 x = ConvBlock(
                     skip.shape[-1], axis_name=self.axis_name, dtype=self.dtype
-                )(x, train)
+                )(x, train, skip=skip.astype(x.dtype))
         return x  # (..., H, W, 32) or blocked (..., H/2, W/2, 128)
 
 
@@ -258,16 +319,30 @@ class ClassificationHead(nn.Module):
 
 
 class RegressionHead(nn.Module):
-    """Per-anchor 6-dim box deltas (reference `SingleRegressionHead`)."""
+    """Per-anchor 6-dim box deltas (reference `SingleRegressionHead`).
+
+    `lazy=True` (predict path) stops after the hidden 3x3 conv + ReLU and
+    returns the blocked hidden map; the final 1x1 conv is then applied by
+    ops.postprocess.decode_topk_blocked_lazy at the top-K cells only —
+    the full-resolution reg map (453 MB/production batch) plus its decode
+    relayout copies (~2.8 ms) never materialize. Requires s2d +
+    blocked_out."""
 
     num_anchors: int
     box_code_size: int = 6
     dtype: Dtype = None
     s2d: bool = False
     blocked_out: bool = False
+    lazy: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.lazy:
+            from v2x_sim_tpu.models.s2d import S2DConv
+
+            assert self.s2d and self.blocked_out
+            x = S2DConv(32, dtype=self.dtype, name="Conv_0")(x)
+            return nn.relu(x)  # blocked hidden (..., H/2, W/2, 4*32)
         x = _head_convs(
             x,
             32,

@@ -78,6 +78,11 @@ class DetModel(nn.Module):
     #: (targets are blocked to match; see train.det_module) so no
     #: transpose sits on the gradient path. Requires s2d active.
     blocked_heads: bool = False
+    #: predict-path optimization: the regression head stops at its hidden
+    #: map; the final 1x1 conv runs at top-K cells inside the decode
+    #: (models.backbone.RegressionHead lazy mode). Output `reg` is then
+    #: the blocked hidden map, NOT box deltas.
+    lazy_reg: bool = False
 
     def setup(self):
         assert self.mode in MODES, f"unknown mode {self.mode}"
@@ -100,6 +105,7 @@ class DetModel(nn.Module):
         self.reg_head = RegressionHead(
             self.config.anchors.num_anchors, self.config.anchors.box_code_size,
             dtype=self.dtype, s2d=use_s2d, blocked_out=blocked,
+            lazy=self.lazy_reg,
         )
         grid = self.config.grid
         if self.mode == "cat":
@@ -143,8 +149,15 @@ class DetModel(nn.Module):
         train: bool = True,
     ) -> DetOutput:
         b, a = occupancy.shape[0], occupancy.shape[1]
+        # Occupancy may arrive pre-blocked in s2d layout (4*D channels,
+        # ops.voxelize.voxelize_blocked) — inferred from the channel
+        # count, so cached plain-layout datasets keep working.
+        pre_blocked = occupancy.shape[-1] == 4 * self.config.grid.grid_shape[2]
+        assert not pre_blocked or self._use_s2d, (
+            "blocked occupancy requires the s2d execution path"
+        )
         x = fold_agents(occupancy)
-        feats = list(self.encoder(x, train))
+        feats = list(self.encoder(x, train, pre_blocked=pre_blocked))
 
         if self.mode not in ("lowerbound", "upperbound"):
             k = self._layer
@@ -184,10 +197,12 @@ class TeacherModel(nn.Module):
             else self.fusion_layer
         )
         use_s2d = self.s2d and k >= 1  # KD feature at layer 0 stays plain
+        pre_blocked = occupancy.shape[-1] == 4 * self.config.grid.grid_shape[2]
+        assert not pre_blocked or use_s2d
         x = fold_agents(occupancy)
         feats = STPNEncoder(
             axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
-        )(x, train)
+        )(x, train, pre_blocked=pre_blocked)
         decoded = STPNDecoder(
             axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
         )(feats, train)

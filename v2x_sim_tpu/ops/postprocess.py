@@ -139,15 +139,102 @@ def decode_topk_blocked(
         reg_flat.dtype
     )
     rows = jnp.einsum("nkr,nrc->nkc", sel, reg_flat)
-    lanes = pk[..., None] * code + jnp.arange(code)
+    # Lane select as a one-hot contraction (take_along_axis gathers are
+    # VMEM-read-bound here — see decode_topk_blocked_lazy).
+    psel = (pk[..., None] == jnp.arange(k4)).astype(rows.dtype)
     top_codes = (
-        jnp.take_along_axis(rows, lanes, axis=-1)
+        jnp.einsum("nkp,nkpc->nkc", psel, rows.reshape(b * a, k, k4, code))
         .reshape(b, a, k, code)
         .astype(jnp.float32)
     )
 
     # Analytic anchors: centers from the regular grid, (l, w, yaw) via a
     # tiny one-hot contraction against the K-row anchor table.
+    g = config.grid
+    cx = g.lower[0] + (hi.astype(jnp.float32) + 0.5) * g.voxel_size[0]
+    cy = g.lower[1] + (wi.astype(jnp.float32) + 0.5) * g.voxel_size[1]
+    table = jnp.asarray(np.asarray(config.anchors.sizes, np.float32))
+    ksel = (ki[..., None] == jnp.arange(kk)).astype(jnp.float32)
+    lwy = jnp.einsum("nki,ic->nkc", ksel, table)
+    top_anchors = jnp.concatenate(
+        [cx[..., None], cy[..., None], lwy], axis=-1
+    ).reshape(b, a, k, 5)
+
+    boxes = decode_boxes(top_codes, top_anchors)
+    valid = (top_scores > score_threshold) & agent_mask[..., None]
+    return boxes, top_scores, valid
+
+
+def decode_topk_blocked_lazy(
+    cls_blk: jnp.ndarray,
+    reg_hidden_blk: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    config,
+    k: int,
+    score_threshold: float,
+    agent_mask: jnp.ndarray,
+    exact: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """`decode_topk_blocked` with a LAZY regression head.
+
+    Takes the reg head's blocked hidden map (B, A, H/2, W/2, 4*HID) —
+    models.backbone.RegressionHead(lazy=True) — plus the head's final 1x1
+    conv params (w1: (1, 1, HID, K*code), b1: (K*code,)), and evaluates
+    that conv only at the top-K cells. The full-res reg map (453 MB at
+    production geometry) plus the relayout copies its flat decode view
+    cost (~2.8 ms measured, docs/PERF.md) never materialize.
+
+    The 1x1 conv on blocked input is a per-phase matmul with the SAME
+    (HID, K*code) matrix (models.s2d.S2DConv1x1), so gathering the top
+    cell's phase lane group and right-multiplying reproduces the full
+    conv output at that anchor exactly.
+    """
+    import numpy as np
+
+    b, a, h2, w2, hid4 = cls_blk.shape[:2] + reg_hidden_blk.shape[2:]
+    _, _, _, _, k4, nc = cls_blk.shape
+    hid = hid4 // 4
+    kk = k4 // 4
+    code = int(b1.shape[-1]) // kk
+    n = b * a
+    cls_flat = cls_blk.reshape(n, h2, w2, k4 * nc)
+    hid_flat = reg_hidden_blk.reshape(n, h2 * w2, hid4)
+    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(n, -1)
+
+    if exact:
+        top_diff, top_idx = jax.lax.top_k(diff, k)
+    else:
+        top_diff, top_idx = jax.lax.approx_max_k(diff, k, recall_target=0.99)
+    top_scores = jax.nn.sigmoid(top_diff.astype(jnp.float32)).reshape(b, a, k)
+
+    cell = top_idx // k4
+    pk = top_idx % k4
+    p, ki = pk // kk, pk % kk
+    hi = 2 * (cell // w2) + p // 2
+    wi = 2 * (cell % w2) + p % 2
+
+    # One-hot row fetch of the hidden vectors at the top cells (MXU).
+    sel = (cell[:, :, None] == jnp.arange(h2 * w2)[None, None, :]).astype(
+        hid_flat.dtype
+    )
+    rows = jnp.einsum("nkr,nrc->nkc", sel, hid_flat)  # (n, k, 4*HID)
+    # Select the 2x2 phase group and the anchor's code lanes via one-hot
+    # contractions — NOT take_along_axis, whose gather lowering here is
+    # VMEM-read-bound (measured 4.7 ms for 786 KB of output on v5e).
+    psel = (p[..., None] == jnp.arange(4)).astype(hid_flat.dtype)
+    rows_p = jnp.einsum(
+        "nkp,nkph->nkh", psel, rows.reshape(n, k, 4, hid)
+    )  # (n, k, HID)
+    w1m = w1.reshape(hid, kk * code).astype(rows_p.dtype)
+    codes_all = rows_p @ w1m + b1.astype(rows_p.dtype)  # (n, k, K*code)
+    ksel_c = (ki[..., None] == jnp.arange(kk)).astype(codes_all.dtype)
+    top_codes = (
+        jnp.einsum("nki,nkic->nkc", ksel_c, codes_all.reshape(n, k, kk, code))
+        .reshape(b, a, k, code)
+        .astype(jnp.float32)
+    )
+
     g = config.grid
     cx = g.lower[0] + (hi.astype(jnp.float32) + 0.5) * g.voxel_size[0]
     cy = g.lower[1] + (wi.astype(jnp.float32) + 0.5) * g.voxel_size[1]

@@ -98,12 +98,29 @@ class DetModule:
             axis_name=axis_name,
             dtype=model_dtype,
         )
+        # Predict path: blocked heads + lazy reg Conv_1 (evaluated at the
+        # top-K cells inside decode — ops.postprocess). Shares params.
+        self.predict_model = DetModel(
+            config=config,
+            mode=mode,
+            kd=kd_weight > 0.0,
+            axis_name=axis_name,
+            dtype=model_dtype,
+            blocked_heads=self._blocked,
+            lazy_reg=self._blocked,
+        )
         self.teacher = (
             TeacherModel(config=config, dtype=model_dtype)
             if kd_weight > 0.0
             else None
         )
         self.anchors = jnp.asarray(anchor_grid(config))
+        # Voxelize straight into the s2d-blocked layout the encoder
+        # consumes (skips the full-res relayout; ops.voxelize). Only when
+        # the model runs s2d and no extra input channels get concatenated.
+        self._occ_blocked = (
+            mode in ("lowerbound", "upperbound") or config.fusion_layer >= 1
+        ) and not use_vis
         self.tx = optax.adam(learning_rate)
         # Jitted entry points. The raw *_impl methods stay undecorated so
         # parallel.mesh can wrap them in shard_map before jitting.
@@ -117,9 +134,15 @@ class DetModule:
     # ------------------------------------------------------------------ #
 
     def occupancy_from_points(self, points, point_mask):
-        """(B, A, P, 3) padded points -> (B, A, H, W, D) occupancy."""
-        return voxelize_batch(points, point_mask, self.config.grid).astype(
-            self.compute_dtype
+        """(B, A, P, 3) padded points -> (B, A, H, W, D) occupancy — or
+        (B, A, H/2, W/2, 4D) blocked when the model runs s2d (the scatter
+        writes the compute dtype directly: the op is HBM-bound)."""
+        return voxelize_batch(
+            points,
+            point_mask,
+            self.config.grid,
+            dtype=self.compute_dtype,
+            blocked=self._occ_blocked,
         )
 
     def merged_occupancy(self, points, point_mask, trans, agent_mask):
@@ -128,8 +151,14 @@ class DetModule:
         from v2x_sim_tpu.ops.voxelize import merged_occupancy
 
         return merged_occupancy(
-            points, point_mask, trans, agent_mask, self.config.grid
-        ).astype(self.compute_dtype)
+            points,
+            point_mask,
+            trans,
+            agent_mask,
+            self.config.grid,
+            dtype=self.compute_dtype,
+            blocked=self._occ_blocked,
+        )
 
     def targets_from_gt(self, gt_boxes, gt_mask):
         """Batched anchor assignment over (B, A) — one kernel launch for
@@ -395,15 +424,19 @@ class DetModule:
 
         Returns per-(batch, agent) NMSResult with (K, 5) boxes.
         """
-        from v2x_sim_tpu.ops.postprocess import decode_topk, decode_topk_blocked
+        from v2x_sim_tpu.ops.postprocess import (
+            decode_topk,
+            decode_topk_blocked_lazy,
+        )
 
         k = max_boxes or self.config.max_boxes
         occ = self._model_input(batch)
         # Blocked path: run the training-layout (space-to-depth) heads and
         # decode straight from the blocked maps — skips the depth_to_space
-        # transpose of both full-res head outputs (ops.postprocess.
-        # decode_topk_blocked).
-        model = self.model if self._blocked else self.eval_model
+        # transpose of both full-res head outputs — with the reg head's
+        # final 1x1 conv applied lazily at the top-K cells only
+        # (ops.postprocess.decode_topk_blocked_lazy).
+        model = self.predict_model if self._blocked else self.eval_model
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             occ,
@@ -412,9 +445,13 @@ class DetModule:
             train=False,
         )
         if self._blocked:
-            boxes, top_scores, valid = decode_topk_blocked(
+            w1 = state.params["reg_head"]["Conv_1"]["kernel"]
+            b1 = state.params["reg_head"]["Conv_1"]["bias"]
+            boxes, top_scores, valid = decode_topk_blocked_lazy(
                 out.cls_logits,
                 out.reg,
+                w1,
+                b1,
                 self.config,
                 k,
                 score_threshold,
