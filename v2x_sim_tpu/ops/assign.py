@@ -44,7 +44,29 @@ import jax
 import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
-from v2x_sim_tpu.ops.iou_sh import rotated_iou_auto as rotated_iou
+from v2x_sim_tpu.ops.iou_sh import (
+    rotated_iou_auto as rotated_iou,
+    rotated_iou_pairs_soa_periodic_auto,
+)
+
+#: Padded positive-cell capacity of the sparse assignment output
+#: (assign_targets_batched(flat="sparse")); scenes peak at ~100.
+_SPARSE_CELLS = 256
+
+
+class SparseTargets(NamedTuple):
+    """Sparse positive-anchor training targets (assign_targets_sparse).
+
+    labels: (B, n) int8 — dense flat classification labels (1/0/-1).
+    cells: (B, Pc) int32 — BEV cells holding positives (top-k padded).
+    wts: (B, Pc*K) float32 — 1.0 where that cell-anchor is positive.
+    reg: (B, Pc*K, code) float32 — encoded deltas at those anchors.
+    """
+
+    labels: jnp.ndarray
+    cells: jnp.ndarray
+    wts: jnp.ndarray
+    reg: jnp.ndarray
 
 
 class AnchorTargets(NamedTuple):
@@ -63,12 +85,13 @@ class AnchorTargets(NamedTuple):
     best_iou: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "flat"))
 def assign_targets_batched(
     gt_boxes: jnp.ndarray,
     gt_mask: jnp.ndarray,
     anchors: jnp.ndarray,
     config: Config,
+    flat: bool = False,
 ) -> AnchorTargets:
     """Assign GT boxes to anchors for a whole batch at once.
 
@@ -117,9 +140,34 @@ def assign_targets_batched(
     lookup = lambda idx: jnp.einsum(
         "bnm,bmf->bnf", jax.nn.one_hot(idx, m, dtype=dtype), gt_boxes
     )
-    anchors_b = jnp.broadcast_to(anchors_flat[None], (b, n, 5))
-    iou1 = rotated_iou(anchors_b, lookup(c1f)) * v1.astype(dtype)
-    iou2 = rotated_iou(anchors_b, lookup(c2f)) * v2.astype(dtype)
+
+    # Field-major (5, B*n) IoU operands — the Pallas kernel's native
+    # layout; (B, n, 5)-shaped operands paid a ~10 ms relayout each at
+    # this scale. One einsum per field keeps the one-hot fused into the
+    # dot (a materialized (B, n, M) one-hot would be 4.8 GB), and the
+    # einsums run on a pre-tiled (B, n/128, 128) view so their outputs
+    # already sit in the kernel's (rows, 128) tiling — a flat (B, n)
+    # output relayouts ~2 ms per field into the kernel operand.
+    def lookup_soa(idx):
+        idxt = idx.reshape(b, n // 128, 128)
+        oh = jax.nn.one_hot(idxt, m, dtype=dtype)
+        return jnp.stack(
+            [
+                jnp.einsum("brlm,bm->brl", oh, gt_boxes[..., f]).reshape(
+                    -1, 128
+                )
+                for f in range(5)
+            ],
+            axis=0,
+        ).reshape(5, b * n)
+
+    anchors_soa = anchors_flat.T  # (5, n) — tiled by the kernel
+    iou1 = rotated_iou_pairs_soa_periodic_auto(
+        anchors_soa, lookup_soa(c1f)
+    ).reshape(b, n) * v1.astype(dtype)
+    iou2 = rotated_iou_pairs_soa_periodic_auto(
+        anchors_soa, lookup_soa(c2f)
+    ).reshape(b, n) * v2.astype(dtype)
 
     take2 = iou2 > iou1
     best_iou = jnp.where(take2, iou2, iou1)  # (B, n)
@@ -149,26 +197,21 @@ def assign_targets_batched(
     )  # (B, M, K)
     own_k = jnp.argmax(own_iou, axis=-1)  # (B, M)
     force = gt_mask & (jnp.max(own_iou, axis=-1) > 0.0)
-    # One scatter over the flattened (B * (n + 1)) grid; slot n per sample
-    # is the drop target for unforced GT.
-    base = jnp.arange(b, dtype=jnp.int32)[:, None] * (n + 1)
-    flat_idx = (
-        base + jnp.where(force, (gr * w + gc) * k + own_k, n)
-    ).reshape(-1)
-    forced_iou = (
-        jnp.zeros((b * (n + 1),), dtype)
-        .at[flat_idx]
-        .max(jnp.where(force, pos_thr + 1e-3, 0.0).reshape(-1))
-        .reshape(b, n + 1)[:, :n]
+    # Anchor-side membership test, fused compare + reduce over the tiny
+    # GT axis: "is anchor n the forced best anchor of some GT?". The
+    # earlier full-grid scatter formulation materialized two (B, n+1)
+    # maps through dynamic-update-slice (~8 ms for 3k updates).
+    forced_anchor = jnp.where(force, (gr * w + gc) * k + own_k, -1)  # (B, M)
+    anchor_ids = jnp.arange(n, dtype=jnp.int32)
+    eq = anchor_ids[None, :, None] == forced_anchor[:, None, :]  # (B, n, M)
+    # Forcing only upgrades anchors whose matched IoU is below the
+    # forced score (an anchor already positive for another GT keeps it).
+    take_forced = jnp.any(eq, axis=-1) & (best_iou < pos_thr + 1e-3)
+    forced_gt = jnp.max(
+        jnp.where(eq, jnp.arange(m, dtype=jnp.int32)[None, None, :], -1),
+        axis=-1,
     )
-    forced_gt = (
-        jnp.full((b * (n + 1),), -1, jnp.int32)
-        .at[flat_idx]
-        .max(jnp.where(force, jnp.arange(m)[None], -1).reshape(-1))
-        .reshape(b, n + 1)[:, :n]
-    )
-    take_forced = forced_iou > best_iou
-    best_iou = jnp.where(take_forced, forced_iou, best_iou)
+    best_iou = jnp.where(take_forced, pos_thr + 1e-3, best_iou)
     best_gt = jnp.where(take_forced, forced_gt, best_gt)
 
     # ---- 4. labels + regression targets (still flat) ------------------ #
@@ -186,17 +229,87 @@ def assign_targets_batched(
         for i, a in enumerate((ax, ay, al, aw, jnp.zeros_like(ax)))
     )
     diag = jnp.sqrt(al * al + aw * aw)
-    reg = jnp.stack(
-        [
-            (gx - ax) / diag * reg_mask,
-            (gy - ay) / diag * reg_mask,
-            jnp.log(gl / al) * reg_mask,
-            jnp.log(gw / aw) * reg_mask,
-            jnp.sin(gyaw) * reg_mask,
-            jnp.cos(gyaw) * reg_mask,
-        ],
-        axis=-1,
-    )
+    fields = [
+        (gx - ax) / diag * reg_mask,
+        (gy - ay) / diag * reg_mask,
+        jnp.log(gl / al) * reg_mask,
+        jnp.log(gw / aw) * reg_mask,
+        jnp.sin(gyaw) * reg_mask,
+        jnp.cos(gyaw) * reg_mask,
+    ]
+    if flat == "sparse":
+        # SPARSE localization targets: the dense (B, n, 6) encode costs
+        # ~1 GB of writes plus a pathological fetch (gathers read it at
+        # 58 GiB/s; one-hot dots pad N to 128); instead pick the
+        # positive cells here and encode ONLY their K anchors (tiny
+        # vector math). Pc = _SPARSE_CELLS.
+        pc = _SPARSE_CELLS
+        hw = h * w
+        cell_any = jax.lax.reduce_window(
+            reg_mask,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, k),
+            window_strides=(1, k),
+            padding="VALID",
+        )  # (B, HW)
+        _, cells = jax.lax.top_k(cell_any, pc)
+        lanes = (cells[..., None] * k + jnp.arange(k)).reshape(b, pc * k)
+        wts = jnp.take_along_axis(reg_mask, lanes, axis=-1)
+        bg = jnp.take_along_axis(best_gt, lanes, axis=-1)
+        matched_sp = jnp.einsum(
+            "bpm,bmf->bpf",
+            jax.nn.one_hot(bg, m, dtype=dtype),
+            gt_boxes,
+        )  # (B, P, 5)
+        # Analytic anchor parameters (regular grid + per-k size table,
+        # same reconstruction as ops.postprocess.decode_topk_blocked).
+        hh = (lanes // k) // w
+        ww = (lanes // k) % w
+        sax = x0 + (hh.astype(dtype) + 0.5) * grid.voxel_size[0]
+        say = y0 + (ww.astype(dtype) + 0.5) * grid.voxel_size[1]
+        import numpy as _np
+
+        table = jnp.asarray(_np.asarray(config.anchors.sizes, _np.float32))
+        ksel = jax.nn.one_hot(lanes % k, k, dtype=dtype)
+        lwy = jnp.einsum("bpk,kf->bpf", ksel, table)
+        sal, saw = lwy[..., 0], lwy[..., 1]
+        sgx = jnp.where(wts > 0, matched_sp[..., 0], sax)
+        sgy = jnp.where(wts > 0, matched_sp[..., 1], say)
+        sgl = jnp.where(wts > 0, matched_sp[..., 2], sal)
+        sgw = jnp.where(wts > 0, matched_sp[..., 3], saw)
+        sgyaw = jnp.where(wts > 0, matched_sp[..., 4], 0.0)
+        sdiag = jnp.sqrt(sal * sal + saw * saw)
+        reg_sp = jnp.stack(
+            [
+                (sgx - sax) / sdiag * wts,
+                (sgy - say) / sdiag * wts,
+                jnp.log(sgl / sal) * wts,
+                jnp.log(sgw / saw) * wts,
+                jnp.sin(sgyaw) * wts,
+                jnp.cos(sgyaw) * wts,
+            ],
+            axis=-1,
+        )  # (B, P, 6) — tiny, no layout concerns
+        return SparseTargets(labels.astype(jnp.int8), cells, wts, reg_sp)
+
+    fields = [
+        (gx - ax) / diag * reg_mask,
+        (gy - ay) / diag * reg_mask,
+        jnp.log(gl / al) * reg_mask,
+        jnp.log(gw / aw) * reg_mask,
+        jnp.sin(gyaw) * reg_mask,
+        jnp.cos(gyaw) * reg_mask,
+    ]
+    if flat:
+        # Structure-of-arrays (B, 6, n) regression targets: stacking on
+        # a code-MINOR axis materializes ~21x padded ((n, 6) tiles pad 6
+        # lanes to 128 — a 19 GB OOM at production batch); stacking with
+        # the big axis minor tiles cleanly.
+        return AnchorTargets(
+            labels, jnp.stack(fields, axis=1), reg_mask, best_iou
+        )
+    reg = jnp.stack(fields, axis=-1)
     return AnchorTargets(
         labels.reshape(b, h, w, k),
         reg.reshape(b, h, w, k, 6),

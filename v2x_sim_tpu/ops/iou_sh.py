@@ -222,6 +222,37 @@ def rotated_iou_auto(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     return rotated_iou(boxes_a, boxes_b)
 
 
+def rotated_iou_pairs_soa_auto(
+    a_soa: jnp.ndarray, b_soa: jnp.ndarray
+) -> jnp.ndarray:
+    """(5, N) x (5, N) field-major pair IoU — the Pallas kernel's native
+    layout on TPU (skips a ~10 ms/operand relayout at assignment scale);
+    transposed XLA fallback elsewhere."""
+    if _use_pallas():
+        from v2x_sim_tpu.ops.pallas.iou_pl import rotated_iou_pairs_soa
+
+        return rotated_iou_pairs_soa(a_soa, b_soa)
+    return rotated_iou(a_soa.T, b_soa.T)
+
+
+def rotated_iou_pairs_soa_periodic_auto(
+    a_soa: jnp.ndarray, b_soa: jnp.ndarray
+) -> jnp.ndarray:
+    """(5, n) anchors tiled against (5, B*n) pairs; Pallas periodic
+    block-mapped kernel on TPU (no materialized anchor broadcast),
+    explicit tile + XLA fallback elsewhere."""
+    n, nb = a_soa.shape[1], b_soa.shape[1]
+    if _use_pallas() and n % 8192 == 0 and nb % n == 0:
+        from v2x_sim_tpu.ops.pallas.iou_pl import (
+            rotated_iou_pairs_soa_periodic,
+        )
+
+        return rotated_iou_pairs_soa_periodic(a_soa, b_soa)
+    reps = nb // n
+    a_full = jnp.tile(a_soa, (1, reps))
+    return rotated_iou_pairs_soa_auto(a_full, b_soa)
+
+
 def rotated_iou_matrix_auto(
     boxes_a: jnp.ndarray, boxes_b: jnp.ndarray
 ) -> jnp.ndarray:

@@ -118,27 +118,32 @@ def _kernel(a_ref, b_ref, out_ref):
 
 
 @functools.partial(jax.jit)
-def rotated_iou_pairs(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
-    """Exact IoU of aligned box pairs via the Pallas kernel.
+def rotated_iou_pairs_soa(
+    a_soa: jnp.ndarray, b_soa: jnp.ndarray
+) -> jnp.ndarray:
+    """Exact IoU of aligned box pairs from structure-of-arrays operands.
 
     Args:
-      boxes_a, boxes_b: (N, 5) float32 (x, y, l, w, yaw).
+      a_soa, b_soa: (5, N) float32 — field-major (x, y, l, w, yaw) rows.
+        This is the kernel's NATIVE layout: (N, 5) operands pay a ~10 ms
+        relayout copy each at assignment scale (N=38M) just to move the
+        field axis off the lanes; producers that can emit field-major
+        (the anchor table, one-hot GT lookups) skip it entirely.
 
     Returns:
       (N,) float32 IoU.
     """
-    n = boxes_a.shape[0]
+    n = a_soa.shape[1]
     n_pad = -(-n // TILE) * TILE
     rows = n_pad // 128
 
-    def prep(boxes):
-        pad = jnp.zeros((n_pad - n, 5), boxes.dtype)
-        full = jnp.concatenate([boxes, pad], axis=0)
-        # (N_pad, 5) -> (5, rows, 128): pair axis on sublane+lane dims.
-        return jnp.moveaxis(full.reshape(rows, 128, 5), -1, 0)
+    def prep(soa):
+        pad = jnp.zeros((5, n_pad - n), soa.dtype)
+        full = jnp.concatenate([soa.astype(jnp.float32), pad], axis=1)
+        return full.reshape(5, rows, 128)  # contiguous — no relayout
 
-    a = prep(boxes_a.astype(jnp.float32))
-    b = prep(boxes_b.astype(jnp.float32))
+    a = prep(a_soa)
+    b = prep(b_soa)
 
     grid = rows // TILE_R
     out = pl.pallas_call(
@@ -162,6 +167,56 @@ def rotated_iou_pairs(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray
         ),
     )(a, b)
     return out.reshape(n_pad)[:n]
+
+
+@functools.partial(jax.jit)
+def rotated_iou_pairs(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Exact IoU of aligned (N, 5) box pairs (see rotated_iou_pairs_soa)."""
+    return rotated_iou_pairs_soa(boxes_a.T, boxes_b.T)
+
+
+@functools.partial(jax.jit)
+def rotated_iou_pairs_soa_periodic(
+    a_soa: jnp.ndarray, b_soa: jnp.ndarray
+) -> jnp.ndarray:
+    """Pair IoU where the A operand REPEATS along the pair axis.
+
+    a_soa (5, n) is tiled B times against b_soa (5, B*n) purely through
+    the kernel's block index map (tile i reads anchor tile i mod n/TILE)
+    — the B-fold broadcast of the anchor table (453 MB materialized +
+    relayout at assignment scale) never exists. Requires n and B*n to be
+    TILE-divisible; callers fall back to the plain pairs entry otherwise.
+    """
+    n = a_soa.shape[1]
+    nb = b_soa.shape[1]
+    assert n % TILE == 0 and nb % n == 0, (n, nb)
+    period = n // TILE
+    rows_a, rows_b = n // 128, nb // 128
+
+    a = a_soa.astype(jnp.float32).reshape(5, rows_a, 128)
+    b = b_soa.astype(jnp.float32).reshape(5, rows_b, 128)
+    grid = rows_b // TILE_R
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_b, 128), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (5, TILE_R, 128),
+                lambda i: (0, i % period, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (5, TILE_R, 128),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(a, b)
+    return out.reshape(nb)
 
 
 def rotated_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:

@@ -53,11 +53,15 @@ def main() -> None:
     pm, tr, am = batch["point_mask"], batch["trans"], batch["agent_mask"]
     collab = args.mode not in ("lowerbound", "upperbound")
 
+    pre_blocked = module._occ_blocked
+
     def run_encoder(m, x):
-        return m.encoder(fold_agents(x), False)
+        return m.encoder(fold_agents(x), False, pre_blocked=pre_blocked)
 
     def run_fused(m, x):
-        feats = list(m.encoder(fold_agents(x), False))
+        feats = list(
+            m.encoder(fold_agents(x), False, pre_blocked=pre_blocked)
+        )
         if collab:
             f = unfold_agents(feats[m._layer], x.shape[1])
             feats[m._layer] = fold_agents(m._fuse(f, tr, am, False))

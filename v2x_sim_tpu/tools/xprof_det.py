@@ -19,7 +19,7 @@ import json
 import os
 
 
-def capture(trace_dir: str, batch_size: int) -> None:
+def capture(trace_dir: str, batch_size: int, what: str) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +37,33 @@ def capture(trace_dir: str, batch_size: int) -> None:
     batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
     module = DetModule(cfg, mode="disco", compute_dtype=jnp.bfloat16)
     state = module.init(jax.random.PRNGKey(0), batch)
+
+    if what == "train":
+        prepared = module.prepare_batch(batch)
+        state, metrics = module.train_step(state, prepared)
+        _ = float(metrics["loss"])
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                state, metrics = module.train_step(state, prepared)
+            _ = float(metrics["loss"])
+        return
+    if what == "prepare":
+        @jax.jit
+        def prep(carry):
+            b2 = dict(batch)
+            b2["points"] = batch["points"] + 1e-12 * carry
+            out = module.prepare_batch(b2)
+            return sum(
+                v.astype(jnp.float32).sum() for v in jax.tree.leaves(out)
+            )
+
+        carry = prep(jnp.float32(0.0))
+        _ = float(carry)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                carry = prep(carry * 1e-30)
+            _ = float(carry)
+        return
 
     @jax.jit
     def step(batch, carry):
@@ -95,6 +122,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace_dir", default="/tmp/xtrace")
+    ap.add_argument("--what", default="predict",
+                    choices=("predict", "train", "prepare"),
+                    help="which jitted step to trace")
     ap.add_argument("--report_only", action="store_true",
                     help="parse an existing trace without capturing")
     args = ap.parse_args()
@@ -102,7 +132,7 @@ def main() -> None:
         import shutil
 
         shutil.rmtree(args.trace_dir, ignore_errors=True)
-        capture(args.trace_dir, args.batch)
+        capture(args.trace_dir, args.batch, args.what)
     report(args.trace_dir, args.top)
 
 

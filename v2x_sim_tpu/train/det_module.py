@@ -32,7 +32,7 @@ from v2x_sim_tpu.ops.nms import NMSResult, batched_nms
 from v2x_sim_tpu.ops.voxelize import voxelize_batch
 from v2x_sim_tpu.utils.losses import (
     kd_mse_loss_sum,
-    smooth_l1_loss_sum,
+    smooth_l1_loss_sparse_sum,
     softmax_focal_loss_sum,
 )
 
@@ -160,18 +160,23 @@ class DetModule:
             blocked=self._occ_blocked,
         )
 
-    def targets_from_gt(self, gt_boxes, gt_mask):
+    def targets_from_gt(self, gt_boxes, gt_mask, flat: bool = False):
         """Batched anchor assignment over (B, A) — one kernel launch for
-        the whole batch (vmap would serialize ~B*A Pallas IoU calls)."""
+        the whole batch (vmap would serialize ~B*A Pallas IoU calls).
+
+        `flat=True` returns labels/mask as (B, A, n) and reg targets as
+        structure-of-arrays (B, A, 6, n) — the layout the sparse-target
+        extraction consumes (ops.assign)."""
         b, a, m, _ = gt_boxes.shape
-        flat = assign_targets_batched(
+        out = assign_targets_batched(
             gt_boxes.reshape(b * a, m, 5),
             gt_mask.reshape(b * a, m),
             self.anchors,
             self.config,
+            flat=flat,
         )
         reshape = lambda x: x.reshape((b, a) + x.shape[1:])
-        return jax.tree.map(reshape, flat)
+        return jax.tree.map(reshape, out)
 
     # ------------------------------------------------------------------ #
     # Init / train / eval
@@ -236,15 +241,20 @@ class DetModule:
         asynchronously ahead of the train step."""
         out = dict(batch)
         out["occupancy"] = self._model_input(batch)
-        targets = self.targets_from_gt(batch["gt_boxes"], batch["gt_mask"])
-        # Cross the jit boundary FLAT: a (B, A, H, W, K, 6) output forces
-        # the consuming step to relayout it into a ~28x padded tiling
-        # (12 GB at production batch). The loss math is flat anyway.
+        sp = self.targets_from_gt(
+            batch["gt_boxes"], batch["gt_mask"], flat="sparse"
+        )
+        # Cross the jit boundary FLAT (a (B, A, H, W, K, …) output forces
+        # a ~28x padded relayout in the consumer), with the localization
+        # targets SPARSE (losses.smooth_l1_loss_sparse_sum) — the dense
+        # (B, A, H, W, K, 6) encode never exists (ops.assign).
         b, a = batch["agent_mask"].shape
-        lab, reg, msk = self._flat_targets(targets, b, a)
-        out["labels"] = lab
-        out["reg_targets"] = reg
-        out["reg_mask"] = msk
+        out["labels"] = self._flat_labels(sp.labels, b, a)
+        cell, lane = self._positive_indices(sp.cells, b, a)
+        out["reg_cell"] = cell
+        out["reg_lane"] = lane
+        out["reg_sp_t"] = sp.reg
+        out["reg_sp_w"] = sp.wts
         if self.kd_weight > 0.0:
             out["teacher_occupancy"] = self.merged_occupancy(
                 batch["points"],
@@ -254,27 +264,43 @@ class DetModule:
             )
         return out
 
-    def _flat_targets(self, targets: AnchorTargets, b: int, a: int):
-        """Targets as flat (B, A, N) arrays, permuted into the blocked
+    def _grid_dims(self):
+        h, w = self.config.grid.bev_shape
+        return h, w, self.config.anchors.num_anchors
+
+    def _flat_labels(self, labels: jnp.ndarray, b: int, a: int):
+        """Labels as flat (B, A, N) int8, permuted into the blocked
         (space-to-depth) anchor order when the training heads are blocked
-        so logits and targets share one flattening."""
-        lab = targets.labels
-        reg = targets.reg_targets
-        msk = targets.reg_mask
+        so logits and labels share one flattening. int8 because the
+        values are {-1, 0, 1} and the dense map is 38 MB/batch."""
+        lab = labels.astype(jnp.int8)
         if self._blocked:
             from v2x_sim_tpu.models.s2d import space_to_depth
 
-            h, w, k = lab.shape[-3:]
-            blk = lambda x, c: space_to_depth(
-                x.reshape(b * a, h, w, c)
-            )
-            lab = blk(lab, k)
-            reg = blk(reg, k * reg.shape[-1])
-            msk = blk(msk, k)
+            h, w, k = self._grid_dims()
+            lab = space_to_depth(lab.reshape(b * a, h, w, k))
+        return lab.reshape(b, a, -1)
+
+    def _positive_indices(self, cells: jnp.ndarray, b: int, a: int):
+        """Convert the sparse assignment's positive-cell indices to
+        (cell, lane) indices into the heads' folded conv layout —
+        blocked (space-to-depth) order when the training heads are
+        blocked. Pure integer arithmetic on (B, A, Pc) arrays."""
+        h, w, k = self._grid_dims()
+        pc = cells.shape[-1]
+        hh, ww = cells // w, cells % w
+        ki = jnp.arange(k)[None, None, None, :]
+        if self._blocked:
+            p = 2 * (hh % 2) + (ww % 2)
+            cell = (hh // 2) * (w // 2) + ww // 2
+            lane = p[..., None] * k + ki
+        else:
+            cell = cells
+            lane = jnp.broadcast_to(ki, (b, a, pc, k))
+        cell = jnp.broadcast_to(cell[..., None], (b, a, pc, k))
         return (
-            lab.reshape(b, a, -1),
-            reg.reshape(b, a, -1),
-            msk.reshape(b, a, -1),
+            cell.reshape(b, a, pc * k).astype(jnp.int32),
+            lane.reshape(b, a, pc * k).astype(jnp.int32),
         )
 
     def loss_fn(
@@ -282,14 +308,17 @@ class DetModule:
     ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
         occ = self._model_input(batch)
         if "labels" in batch:
-            targets = AnchorTargets(
-                batch["labels"], batch["reg_targets"], batch["reg_mask"], None
-            )
+            labels_flat = batch["labels"]
+            cell, lane = batch["reg_cell"], batch["reg_lane"]
+            sp_t, sp_w = batch["reg_sp_t"], batch["reg_sp_w"]
         else:
-            full = self.targets_from_gt(batch["gt_boxes"], batch["gt_mask"])
+            sp = self.targets_from_gt(
+                batch["gt_boxes"], batch["gt_mask"], flat="sparse"
+            )
             b, a = batch["agent_mask"].shape
-            lab, reg, msk = self._flat_targets(full, b, a)
-            targets = AnchorTargets(lab, reg, msk, None)
+            labels_flat = self._flat_labels(sp.labels, b, a)
+            cell, lane = self._positive_indices(sp.cells, b, a)
+            sp_t, sp_w = sp.reg, sp.wts
 
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
@@ -313,14 +342,15 @@ class DetModule:
         am = batch["agent_mask"]
         b, a = am.shape
         labels = jnp.where(
-            am[:, :, None], targets.labels.reshape(b, a, -1), -1
+            am[:, :, None], labels_flat.reshape(b, a, -1), jnp.int8(-1)
         )
-        reg_mask = targets.reg_mask.reshape(b, a, -1) * am[
-            :, :, None
-        ].astype(targets.reg_mask.dtype)
+        sp_w = sp_w * am[:, :, None].astype(sp_w.dtype)
 
         cls_sum, num_pos = softmax_focal_loss_sum(out.cls_logits, labels)
-        loc_sum, _ = smooth_l1_loss_sum(out.reg, targets.reg_targets, reg_mask)
+        r_cells = out.reg.shape[2] * out.reg.shape[3]
+        loc_sum, _ = smooth_l1_loss_sparse_sum(
+            out.reg.reshape(b, a, r_cells, -1), cell, lane, sp_t, sp_w
+        )
         # Normalize by the GLOBAL positive count under DP so that an N-way
         # sharded step computes exactly the full-batch gradient (grads are
         # psum'd to match — see _train_step_impl).

@@ -169,3 +169,60 @@ def seg_cross_entropy(logits, labels, num_classes):
 
 def kd_mse_loss(student, teacher):
     return _norm(kd_mse_loss_sum(student, teacher))
+
+
+def smooth_l1_loss_sparse_sum(
+    pred: jnp.ndarray,
+    cell: jnp.ndarray,
+    lane: jnp.ndarray,
+    target: jnp.ndarray,
+    weight: jnp.ndarray,
+    delta: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smooth-L1 over SPARSE positive anchors.
+
+    The dense formulation hauls a (B, A, H, W, K, 6) float32 target
+    tensor (905 MB at production geometry) through prepare, the loss,
+    and its backward — all to touch ~10^2 positive anchors per scene.
+    The per-op trace (tools/xprof_det --what train) showed ~35 ms/step
+    of pure HBM traffic on it. Here the positives arrive as indices +
+    targets, predictions are fetched with one-hot MXU contractions
+    (gather lowerings are VMEM-bound on TPU — docs/PERF.md), and the
+    backward of the fetch is another dense matmul that feeds the conv
+    grad directly.
+
+    Args:
+      pred: (B, A, R, F) predicted codes in folded conv layout — R cells,
+        F = K*code lanes (K anchors per cell; blocked layout folds the
+        2x2 phase into K).
+      cell: (B, A, P) int32 row index of each positive (< R).
+      lane: (B, A, P) int32 anchor-within-row index (< K).
+      target: (B, A, P, code) encoded GT codes.
+      weight: (B, A, P) 1.0 for real positives, 0.0 padding.
+
+    Returns:
+      (loss_sum, num_positive).
+    """
+    b, a, r, f = pred.shape
+    code = target.shape[-1]
+    kk = f // code
+    n = b * a
+    p = cell.shape[-1]
+    pf = pred.reshape(n, r, f)
+    sel = (
+        cell.reshape(n, p)[:, :, None] == jnp.arange(r)[None, None, :]
+    ).astype(pf.dtype)
+    rows = jnp.einsum("npr,nrf->npf", sel, pf)
+    lsel = (
+        lane.reshape(n, p)[..., None] == jnp.arange(kk)
+    ).astype(pf.dtype)
+    x = jnp.einsum(
+        "npk,npkc->npc", lsel, rows.reshape(n, p, kk, code)
+    ).astype(jnp.float32)
+    t = target.reshape(n, p, code).astype(jnp.float32)
+    diff = jnp.abs(x - t)
+    loss = jnp.where(
+        diff < delta, 0.5 * diff * diff / delta, diff - 0.5 * delta
+    )
+    w = weight.reshape(n, p).astype(jnp.float32)
+    return jnp.sum(jnp.sum(loss, axis=-1) * w), jnp.sum(w)
