@@ -10,13 +10,19 @@ EPOCHS ?= 100
 FLAGS  ?=
 
 .PHONY: test bench create_data train_det test_det train_seg test_seg track \
-        train_det_all smoke native
+        train_det_all smoke native profile xprof
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+profile:  # cumulative stage budget + prepare/train timing (real chip)
+	python -m v2x_sim_tpu.tools.profile_det --batch 16 --train 1
+
+xprof:    # per-HLO-op self times of the predict step (real chip)
+	python -m v2x_sim_tpu.tools.xprof_det --what predict
 
 native:
 	python -c "from v2x_sim_tpu.native.loader import native_available; \
