@@ -149,3 +149,46 @@ def test_blocked_training_loss_matches_standard():
             float(metrics_b[key]), float(metrics_p[key]), rtol=1e-4,
             err_msg=key,
         )
+
+
+def test_seg_model_s2d_matches_plain():
+    """The s2d UNet must equal the plain UNet on the same params."""
+    from v2x_sim_tpu.models.seg.unet import SegModel
+
+    cfg = Config(grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)))  # 64x64x8
+    plain = SegModel(config=cfg, mode="mean", s2d=False)
+    blocked = SegModel(config=cfg, mode="mean", s2d=True)
+    rng = np.random.default_rng(6)
+    b, a = 1, 2
+    occ = jnp.asarray((rng.random((b, a, 64, 64, 8)) > 0.95).astype(np.float32))
+    trans = np.tile(np.eye(4, dtype=np.float32), (b, a, a, 1, 1))
+    trans[0, 0, 1, 0, 3] = 4.0
+    trans = jnp.asarray(trans)
+    mask = jnp.ones((b, a), bool)
+
+    variables = plain.init(jax.random.PRNGKey(0), occ, trans, mask, train=False)
+    out_p = plain.apply(variables, occ, trans, mask, train=False)
+    out_b = blocked.apply(variables, occ, trans, mask, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_b.logits), np.asarray(out_p.logits), atol=2e-4
+    )
+
+    # Train mode: outputs + updated BN stats equal too.
+    op, mp = plain.apply(
+        variables, occ, trans, mask, train=True, mutable=["batch_stats"]
+    )
+    ob, mb = blocked.apply(
+        variables, occ, trans, mask, train=True, mutable=["batch_stats"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ob.logits), np.asarray(op.logits), atol=2e-4
+    )
+    flat_b = {
+        jax.tree_util.keystr(k): v
+        for k, v in jax.tree_util.tree_leaves_with_path(mb["batch_stats"])
+    }
+    for k, v in jax.tree_util.tree_leaves_with_path(mp["batch_stats"]):
+        np.testing.assert_allclose(
+            flat_b[jax.tree_util.keystr(k)], np.asarray(v), atol=2e-4,
+            err_msg=jax.tree_util.keystr(k),
+        )

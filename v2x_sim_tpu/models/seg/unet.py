@@ -10,6 +10,13 @@ The fusion modules are shared with detection (models.det.fusion et al.)
 because the contract is identical: (B, A, h, w, C) maps + pairwise
 transforms + agent mask -> fused maps. NHWC, agent axis folded into batch
 for all convs.
+
+With `s2d=True` (default) the full-resolution stages run 2x2-blocked
+exactly like the detection backbone (models.s2d — same params, same
+math, equivalence-tested): stage 0 consumes blocked occupancy, its 2x2
+max-pool becomes a free max over the 4 phase channel groups (no spatial
+op at all), the final up stage runs blocked with a split-concat conv,
+and the 1x1 head applies per phase group.
 """
 
 from __future__ import annotations
@@ -20,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
-from v2x_sim_tpu.models.backbone import fold_agents, unfold_agents
+from v2x_sim_tpu.models.backbone import ConvBlock, fold_agents, unfold_agents
 from v2x_sim_tpu.models.det import fusion as F
 from v2x_sim_tpu.models.det.v2vnet import V2VNetFusion
 from v2x_sim_tpu.models.det.when2com import When2comFusion
@@ -64,21 +71,60 @@ class SegModel(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[object] = None
 
+    #: blocked execution of the full-res stages (models.s2d); exact.
+    s2d: bool = True
+
     def setup(self):
         self.downs = [
-            DoubleConv(ch, axis_name=self.axis_name, dtype=self.dtype, name=f"down{i}")
+            (
+                ConvBlock(
+                    ch,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    mode="s2d",
+                    name=f"down{i}",
+                )
+                if self.s2d and i == 0
+                else DoubleConv(
+                    ch, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"down{i}",
+                )
+            )
             for i, ch in enumerate(UNET_CHANNELS)
         ]
         self.bottleneck = DoubleConv(
             BOTTLENECK, axis_name=self.axis_name, dtype=self.dtype, name="bottleneck"
         )
+        n_up = len(UNET_CHANNELS)
         self.ups = [
-            DoubleConv(ch, axis_name=self.axis_name, dtype=self.dtype, name=f"up{i}")
+            (
+                ConvBlock(
+                    ch,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    mode="s2d",
+                    name=f"up{i}",
+                )
+                if self.s2d and i == n_up - 1
+                else DoubleConv(
+                    ch, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"up{i}",
+                )
+            )
             for i, ch in enumerate(reversed(UNET_CHANNELS))
         ]
-        self.head = nn.Conv(
-            self.config.num_seg_classes, (1, 1), dtype=self.dtype, name="head"
-        )
+        if self.s2d:
+            from v2x_sim_tpu.models.s2d import S2DConv1x1
+
+            # Identical param tree to the plain 1x1 conv head.
+            self.head = S2DConv1x1(
+                self.config.num_seg_classes, dtype=self.dtype, name="head"
+            )
+        else:
+            self.head = nn.Conv(
+                self.config.num_seg_classes, (1, 1), dtype=self.dtype,
+                name="head",
+            )
         grid = self.config.grid
         if self.mode == "cat":
             self.fusion = F.CatFusion(grid, dtype=self.dtype)
@@ -106,26 +152,62 @@ class SegModel(nn.Module):
         return self.fusion(feat, trans, mask, train)
 
     def __call__(self, occupancy, trans, agent_mask, train: bool = True):
+        from v2x_sim_tpu.models.s2d import (
+            depth_to_space,
+            s2d_upsample2x,
+            space_to_depth,
+        )
+
         a = occupancy.shape[1]
+        d = self.config.grid.grid_shape[2]
+        # Occupancy may arrive pre-blocked (ops.voxelize.voxelize_blocked).
+        pre_blocked = occupancy.shape[-1] == 4 * d
+        assert not pre_blocked or self.s2d
         x = fold_agents(occupancy)
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.s2d and not pre_blocked:
+            x = space_to_depth(x)
+        elif not self.s2d and pre_blocked:
+            raise ValueError("blocked occupancy requires s2d")
         skips = []
-        for down in self.downs:
+        for i, down in enumerate(self.downs):
             x = down(x, train)
             skips.append(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if self.s2d and i == 0:
+                # 2x2 max pool of a blocked map = max over the 4 phase
+                # channel groups — no spatial op (models.s2d layout).
+                c = x.shape[-1] // 4
+                x = jnp.max(
+                    x.reshape(x.shape[:-1] + (4, c)), axis=-2
+                )
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = self.bottleneck(x, train)
 
         if self.mode not in ("lowerbound", "upperbound"):
             f = unfold_agents(x, a)
             x = fold_agents(self._fuse(f, trans, agent_mask, train))
 
-        for up, skip in zip(self.ups, reversed(skips)):
-            h, w = skip.shape[-3], skip.shape[-2]
-            x = jax.image.resize(
-                x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
-            )
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = up(x, train)
-        return SegOutput(unfold_agents(self.head(x).astype(jnp.float32), a))
+        n_up = len(self.ups)
+        for i, (up, skip) in enumerate(zip(self.ups, reversed(skips))):
+            last = i == n_up - 1
+            if self.s2d and last:
+                # skip is the blocked down0 output; upsample straight
+                # into blocked layout, split-concat conv (no concat
+                # materialization, no perm — models.backbone._SplitConv).
+                x = s2d_upsample2x(x)
+                x = up(x, train, skip=skip)
+            else:
+                h, w = skip.shape[-3], skip.shape[-2]
+                x = jax.image.resize(
+                    x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
+                )
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = up(x, train)
+        if self.s2d:
+            # 1x1 head per phase group, then un-block the small logits.
+            logits = depth_to_space(self.head(x))
+        else:
+            logits = self.head(x)
+        return SegOutput(unfold_agents(logits.astype(jnp.float32), a))

@@ -41,13 +41,22 @@ class SegModule:
         self.model = SegModel(
             config=config, mode=mode, axis_name=axis_name, dtype=model_dtype
         )
+        self.compute_dtype = compute_dtype
         self.tx = optax.adam(learning_rate)
         self.prepare_batch = jax.jit(self._prepare_batch_impl)
         self.train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         self.eval_step = jax.jit(self._eval_step_impl)
 
     def occupancy_from_points(self, points, point_mask):
-        return voxelize_batch(points, point_mask, self.config.grid)
+        # Scatter straight into the s2d-blocked layout the UNet consumes
+        # (ops.voxelize; the model infers blockedness from the channels).
+        return voxelize_batch(
+            points,
+            point_mask,
+            self.config.grid,
+            dtype=self.compute_dtype,
+            blocked=self.model.s2d,
+        )
 
     def _model_input(self, batch):
         if "occupancy" in batch:
@@ -62,6 +71,8 @@ class SegModule:
                 batch["trans"],
                 batch["agent_mask"],
                 self.config.grid,
+                dtype=self.compute_dtype,
+                blocked=self.model.s2d,
             )
         return self.occupancy_from_points(batch["points"], batch["point_mask"])
 
