@@ -71,7 +71,8 @@ def main():
                 state = restore_checkpoint(path, state)
                 print(f"loaded checkpoint {path}")
         res = module.predict(
-            state, batch, config.max_boxes, args.nms_iou, args.score_threshold
+            state, batch, config.max_boxes, args.nms_iou,
+            args.score_threshold, True,  # exact top-k for eval parity
         )
         if args.late_fusion:
             import jax as _jax

@@ -127,7 +127,9 @@ class DetModule:
         self.prepare_batch = jax.jit(self._prepare_batch_impl)
         step_impl = self._train_step_mgda_impl if mgda else self._train_step_impl
         self.train_step = jax.jit(step_impl, donate_argnums=0)
-        self.predict = jax.jit(self._predict_impl, static_argnums=(2, 3, 4))
+        self.predict = jax.jit(
+            self._predict_impl, static_argnums=(2, 3, 4, 5)
+        )
 
     # ------------------------------------------------------------------ #
     # Input-side device stages
@@ -449,8 +451,13 @@ class DetModule:
         max_boxes: Optional[int] = None,
         nms_iou: float = 0.1,
         score_threshold: float = 0.3,
+        exact_topk: bool = False,
     ) -> NMSResult:
         """Eval path: forward -> score -> decode -> NMS, all on device.
+
+        `exact_topk` uses an exact top-k for candidate selection (the
+        eval tool's default — strict parity); the default approx_max_k
+        (recall 0.99) is for the throughput path.
 
         Returns per-(batch, agent) NMSResult with (K, 5) boxes.
         """
@@ -486,6 +493,7 @@ class DetModule:
                 k,
                 score_threshold,
                 batch["agent_mask"],
+                exact=exact_topk,
             )
         else:
             boxes, top_scores, valid = decode_topk(
@@ -495,5 +503,6 @@ class DetModule:
                 k,
                 score_threshold,
                 batch["agent_mask"],
+                exact=exact_topk,
             )
         return batched_nms(boxes, top_scores, valid, nms_iou)
