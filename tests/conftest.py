@@ -22,3 +22,9 @@ import jax  # noqa: E402  (must come after the env setup above)
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compile cache: the suite is dominated by CPU compiles
+# (22:48 cold in round 1); warm runs hit the on-disk cache instead.
+from v2x_sim_tpu.utils.jit_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

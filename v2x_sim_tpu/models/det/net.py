@@ -70,6 +70,9 @@ class DetModel(nn.Module):
     mode: str = "lowerbound"
     fusion_layer: Optional[int] = None  # default: config.fusion_layer
     kd: bool = False
+    #: when2com/who2com only — warp requested neighbor features into the
+    #: ego frame before mixing (reference --warp_flag ablation).
+    warp_flag: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[object] = None  # activation dtype (e.g. bfloat16)
     s2d: bool = True  # blocked execution of full-res stages (models.s2d)
@@ -115,9 +118,15 @@ class DetModel(nn.Module):
         elif self.mode == "disco":
             self.fusion = F.DiscoFusion(grid, dtype=self.dtype)
         elif self.mode == "when2com":
-            self.fusion = When2comFusion(grid, argmax_mode=False, dtype=self.dtype)
+            self.fusion = When2comFusion(
+                grid, argmax_mode=False, warp_flag=self.warp_flag,
+                dtype=self.dtype,
+            )
         elif self.mode == "who2com":
-            self.fusion = When2comFusion(grid, argmax_mode=True, dtype=self.dtype)
+            self.fusion = When2comFusion(
+                grid, argmax_mode=True, warp_flag=self.warp_flag,
+                dtype=self.dtype,
+            )
         elif self.mode == "v2v":
             self.fusion = V2VNetFusion(grid, dtype=self.dtype)
         else:

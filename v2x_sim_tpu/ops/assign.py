@@ -67,6 +67,11 @@ class SparseTargets(NamedTuple):
     cells: jnp.ndarray
     wts: jnp.ndarray
     reg: jnp.ndarray
+    #: (B,) int32 — positive cells beyond the _SPARSE_CELLS capacity whose
+    #: localization targets were dropped (their cls labels stay positive).
+    #: Scenes peak at ~100 positives so this is 0 in practice; consumers
+    #: that care (debug paths, tests) can assert it is zero.
+    overflow: jnp.ndarray
 
 
 class AnchorTargets(NamedTuple):
@@ -91,7 +96,7 @@ def assign_targets_batched(
     gt_mask: jnp.ndarray,
     anchors: jnp.ndarray,
     config: Config,
-    flat: bool = False,
+    flat: "bool | str" = False,
 ) -> AnchorTargets:
     """Assign GT boxes to anchors for a whole batch at once.
 
@@ -100,9 +105,14 @@ def assign_targets_batched(
       gt_mask: (B, M) bool validity.
       anchors: (H, W, K, 5) dense anchor grid (see ops.anchors.anchor_grid).
       config: static config (thresholds, grid geometry).
+      flat: output layout — False ("dense"): AnchorTargets over the full
+        (B, H, W, K) grid; True ("flat"): AnchorTargets with flat (B, n)
+        labels and structure-of-arrays (B, 6, n) regression targets;
+        "sparse": SparseTargets with localization targets only at the
+        top-_SPARSE_CELLS positive cells (the training path's layout).
 
     Returns:
-      AnchorTargets over the full (B, H, W, K) grid.
+      AnchorTargets (flat in {False, True}) or SparseTargets ("sparse").
     """
     h, w, k, _ = anchors.shape
     b, m = gt_boxes.shape[:2]
@@ -219,24 +229,6 @@ def assign_targets_batched(
     neg = best_iou < neg_thr
     labels = jnp.where(pos, 1, jnp.where(neg, 0, -1)).astype(jnp.int32)
     reg_mask = pos.astype(dtype)
-    # Field-wise (structure-of-arrays) encode on (B, n) vectors; encode
-    # non-positive cells against their own anchor (exact zeros) so
-    # degenerate padded GT never reaches the log() in the codec.
-    ax, ay, al, aw = (anchors_flat[None, :, i] for i in range(4))
-    matched = lookup(best_gt)  # (B, n, 5)
-    gx, gy, gl, gw, gyaw = (
-        jnp.where(pos, matched[..., i], a)
-        for i, a in enumerate((ax, ay, al, aw, jnp.zeros_like(ax)))
-    )
-    diag = jnp.sqrt(al * al + aw * aw)
-    fields = [
-        (gx - ax) / diag * reg_mask,
-        (gy - ay) / diag * reg_mask,
-        jnp.log(gl / al) * reg_mask,
-        jnp.log(gw / aw) * reg_mask,
-        jnp.sin(gyaw) * reg_mask,
-        jnp.cos(gyaw) * reg_mask,
-    ]
     if flat == "sparse":
         # SPARSE localization targets: the dense (B, n, 6) encode costs
         # ~1 GB of writes plus a pathological fetch (gathers read it at
@@ -291,8 +283,25 @@ def assign_targets_batched(
             ],
             axis=-1,
         )  # (B, P, 6) — tiny, no layout concerns
-        return SparseTargets(labels.astype(jnp.int8), cells, wts, reg_sp)
+        # Capacity accounting: positive cells beyond the top-Pc keep their
+        # positive cls labels but lose their localization targets — report
+        # the drop count instead of truncating silently.
+        n_pos_cells = jnp.sum((cell_any > 0).astype(jnp.int32), axis=-1)
+        overflow = jnp.maximum(n_pos_cells - pc, 0)
+        return SparseTargets(
+            labels.astype(jnp.int8), cells, wts, reg_sp, overflow
+        )
 
+    # Field-wise (structure-of-arrays) encode on (B, n) vectors; encode
+    # non-positive cells against their own anchor (exact zeros) so
+    # degenerate padded GT never reaches the log() in the codec.
+    ax, ay, al, aw = (anchors_flat[None, :, i] for i in range(4))
+    matched = lookup(best_gt)  # (B, n, 5)
+    gx, gy, gl, gw, gyaw = (
+        jnp.where(pos, matched[..., i], a)
+        for i, a in enumerate((ax, ay, al, aw, jnp.zeros_like(ax)))
+    )
+    diag = jnp.sqrt(al * al + aw * aw)
     fields = [
         (gx - ax) / diag * reg_mask,
         (gy - ay) / diag * reg_mask,

@@ -30,13 +30,19 @@ from v2x_sim_tpu.ops.voxelize import voxel_indices, voxelize
 FREE = 1.0
 OCCUPIED = 2.0
 
+#: Shared ray-sampling density: create_data --vis_samples and the
+#: on-device fallback in train.det_module both default to this, so a
+#: model trained on baked maps sees identical free-space carving when
+#: evaluated through the fallback (round-1 advisor finding).
+DEFAULT_NUM_SAMPLES = 128
+
 
 def visibility_map(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     grid: GridConfig,
     origin: Optional[jnp.ndarray] = None,
-    num_samples: int = 64,
+    num_samples: int = DEFAULT_NUM_SAMPLES,
 ) -> jnp.ndarray:
     """Trinary visibility grid from one padded point cloud.
 
@@ -77,7 +83,7 @@ def visibility_batch(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     grid: GridConfig,
-    num_samples: int = 64,
+    num_samples: int = DEFAULT_NUM_SAMPLES,
 ) -> jnp.ndarray:
     """(..., P, 3+) padded clouds -> (..., H, W, D) visibility grids."""
     batch_shape = points.shape[:-2]

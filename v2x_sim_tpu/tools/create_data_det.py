@@ -31,7 +31,8 @@ def parse_args():
         "the cache, like the reference's vis_maps",
     )
     p.add_argument(
-        "--vis_samples", type=int, default=128, help="ray samples per point"
+        "--vis_samples", type=int, default=None,
+        help="ray samples per point (default: ops.visibility.DEFAULT_NUM_SAMPLES)"
     )
     return p.parse_args()
 
@@ -40,13 +41,13 @@ def _add_vis(frame, config, num_samples):
     import jax.numpy as jnp
     import numpy as np
 
-    from v2x_sim_tpu.ops.visibility import visibility_batch
+    from v2x_sim_tpu.ops.visibility import DEFAULT_NUM_SAMPLES, visibility_batch
 
     vis = visibility_batch(
         jnp.asarray(frame["points"]),
         jnp.asarray(frame["point_mask"]),
         config.grid,
-        num_samples=num_samples,
+        num_samples=num_samples or DEFAULT_NUM_SAMPLES,
     )
     frame = dict(frame)
     frame["vis_maps"] = np.asarray(vis, dtype=np.int8)

@@ -54,7 +54,12 @@ def main():
 
     config = build_config(args)
     mode = resolve_mode(args)
-    module = DetModule(config, mode=mode, use_vis=bool(args.use_vis))
+    module = DetModule(
+        config,
+        mode=mode,
+        use_vis=bool(args.use_vis),
+        warp_flag=bool(args.warp_flag),
+    )
 
     all_det_boxes, all_scores, all_valid = [], [], []
     all_gt, all_gt_mask, all_agent_mask = [], [], []

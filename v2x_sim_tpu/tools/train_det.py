@@ -80,6 +80,7 @@ def main():
         axis_name=axis,
         compute_dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32,
         use_vis=bool(args.use_vis),
+        warp_flag=bool(args.warp_flag),
     )
 
     first = next(make_batches(args, config, num_batches=1))

@@ -68,6 +68,7 @@ class DetModule:
         axis_name: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
         use_vis: bool = False,
+        warp_flag: bool = True,
     ):
         self.config = config
         self.mode = mode
@@ -76,6 +77,7 @@ class DetModule:
         self.axis_name = axis_name
         self.compute_dtype = compute_dtype
         self.use_vis = use_vis
+        self.warp_flag = warp_flag
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         # Blocked heads (s2d layout) on the training path: targets are
         # blocked to match, so no transpose sits on the gradient path.
@@ -87,6 +89,7 @@ class DetModule:
             config=config,
             mode=mode,
             kd=kd_weight > 0.0,
+            warp_flag=warp_flag,
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
@@ -95,6 +98,7 @@ class DetModule:
             config=config,
             mode=mode,
             kd=kd_weight > 0.0,
+            warp_flag=warp_flag,
             axis_name=axis_name,
             dtype=model_dtype,
         )
@@ -104,6 +108,7 @@ class DetModule:
             config=config,
             mode=mode,
             kd=kd_weight > 0.0,
+            warp_flag=warp_flag,
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
