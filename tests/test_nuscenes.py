@@ -87,3 +87,45 @@ def test_batches_iterator(dataset_root):
     batches = list(ds.batches(batch_size=2))
     assert len(batches) == 3
     assert batches[0]["points"].shape[0] == 2
+
+
+def test_map_layer_seg_labels_all_classes(dataset_root):
+    """Real-data-format fixture must yield ALL 8 seg classes (VERDICT
+    round-1 task 5): map-expansion polygons (road/sidewalk/terrain/
+    building/vegetation) + pedestrian annotations + vehicle boxes."""
+    ds = V2XSimDataset(
+        dataset_root, CFG, max_points=2048, max_gt=16, with_seg_labels=True
+    )
+    seg = ds[0]["seg_labels"]
+    present = set(np.unique(seg).tolist())
+    assert present == set(range(len(CFG.seg_class_names)))
+
+
+def test_map_expansion_both_record_schemas(dataset_root):
+    """The parser must resolve canonical node/polygon token references
+    (road layers in the fixture) AND inline-exterior records (the other
+    layers)."""
+    from v2x_sim_tpu.datasets.nuscenes_map import NuScenesMapExpansion
+
+    exp = NuScenesMapExpansion(dataset_root, "synthetic")
+    # road_segment (polygon_token) + drivable_area (polygon_tokens).
+    assert len(exp.layer_polys["road_segment"]) == 1
+    assert len(exp.layer_polys["drivable_area"]) == 1
+    assert exp.layer_polys["road_segment"][0].shape == (4, 2)
+    # inline exteriors
+    assert len(exp.layer_polys["walkway"]) == 2
+    classes = dict(exp.class_polygons(CFG.seg_class_names))
+    assert len(classes["road"]) == 2
+    assert len(classes["sidewalk"]) == 2
+
+
+def test_real_instance_track_ids(dataset_root):
+    """gt_ids carry instance_token-derived identities, stable across the
+    frames of a scene (the same vehicle keeps its id)."""
+    ds = V2XSimDataset(dataset_root, CFG, max_points=2048, max_gt=16)
+    f0, f1 = ds[0], ds[1]
+    ids0 = f0["gt_ids"][0][f0["gt_mask"][0]]
+    ids1 = f1["gt_ids"][0][f1["gt_mask"][0]]
+    assert (ids0 >= 0).all() and len(set(ids0.tolist())) == len(ids0)
+    # writer drifts vehicles only slightly: identity sets overlap heavily
+    assert len(set(ids0.tolist()) & set(ids1.tolist())) >= max(1, len(ids0) - 2)

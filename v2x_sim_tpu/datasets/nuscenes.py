@@ -41,12 +41,15 @@ TABLE_NAMES = (
     "sensor",
     "category",
     "instance",
+    "log",
+    "map",
 )
 
 #: nuScenes .pcd.bin layout: x, y, z, intensity, ring (float32 each).
 PCD_FLOATS = 5
 
 VEHICLE_CATEGORY_PREFIX = "vehicle"
+PEDESTRIAN_CATEGORY_PREFIX = "human.pedestrian"
 
 
 def quat_to_yaw(q: Sequence[float]) -> float:
@@ -94,6 +97,11 @@ class NuScenesTables:
         self._instance_category = {
             t: r["category_token"] for t, r in self.tables["instance"].items()
         }
+        # Stable small-int track identity per instance_token (sorted for
+        # run-to-run determinism) — real MOT GT ids, not NN-synthesized.
+        self._instance_id = {
+            t: i for i, t in enumerate(sorted(self.tables["instance"]))
+        }
         self._build_index()
 
     # ------------------------------------------------------------------ #
@@ -108,6 +116,11 @@ class NuScenesTables:
                 order.append(cur)
                 cur = self.tables["sample"][cur]["next"]
             self.scene_samples[token] = order
+
+        self.sample_scene: Dict[str, str] = {}
+        for token, samples in self.scene_samples.items():
+            for s in samples:
+                self.sample_scene[s] = token
 
         self.sample_lidars: Dict[str, Dict[int, dict]] = {}
         for sd in self.tables["sample_data"].values():
@@ -144,24 +157,46 @@ class NuScenesTables:
         cols = PCD_FLOATS if raw.size % PCD_FLOATS == 0 else 4
         return raw.reshape(-1, cols)[:, :4]
 
-    def is_vehicle(self, ann: dict) -> bool:
+    def category_of(self, ann: dict) -> str:
         cat_token = self._instance_category.get(ann["instance_token"])
-        name = self._category_name.get(cat_token, ann.get("category_name", ""))
-        return name.startswith(VEHICLE_CATEGORY_PREFIX)
+        return self._category_name.get(cat_token, ann.get("category_name", ""))
 
-    def global_boxes(self, sample_token: str) -> np.ndarray:
-        """GT vehicle boxes for a sample, global frame: (M, 5) x,y,l,w,yaw.
+    def is_vehicle(self, ann: dict) -> bool:
+        return self.category_of(ann).startswith(VEHICLE_CATEGORY_PREFIX)
 
-        nuScenes size is [width, length, height]; heading along length.
+    def global_boxes(
+        self, sample_token: str, prefix: str = VEHICLE_CATEGORY_PREFIX
+    ):
+        """GT boxes of one category prefix for a sample, global frame.
+
+        Returns ((M, 5) x,y,l,w,yaw float64, (M,) int32 instance ids).
+        The ids are stable small integers derived from the instance table
+        (one per `instance_token`) — the REAL track identities the dataset
+        carries (VERDICT.md round-1 task 6), consumed by tools.track for
+        MOT ground truth. nuScenes size is [width, length, height];
+        heading along length.
         """
-        out = []
+        out, ids = [], []
         for ann in self.sample_annotations.get(sample_token, []):
-            if not self.is_vehicle(ann):
+            if not self.category_of(ann).startswith(prefix):
                 continue
             w, l = ann["size"][0], ann["size"][1]
             yaw = quat_to_yaw(ann["rotation"])
             out.append([ann["translation"][0], ann["translation"][1], l, w, yaw])
-        return np.asarray(out, np.float64).reshape(-1, 5)
+            ids.append(self._instance_id.get(ann["instance_token"], -1))
+        return (
+            np.asarray(out, np.float64).reshape(-1, 5),
+            np.asarray(ids, np.int32),
+        )
+
+    def map_location(self, sample_token: str) -> Optional[str]:
+        """Map-expansion location for a sample's scene, via scene->log."""
+        scene_token = self.sample_scene.get(sample_token)
+        if scene_token is None:
+            return None
+        log_token = self.tables["scene"][scene_token].get("log_token")
+        log = self.tables["log"].get(log_token)
+        return log.get("location") if log else None
 
 
 class V2XSimDataset:
@@ -190,6 +225,7 @@ class V2XSimDataset:
         self.max_gt = max_gt
         self.use_rsu = use_rsu
         self.with_seg_labels = with_seg_labels
+        self._maps: Dict[str, object] = {}  # location -> NuScenesMapExpansion
         self.frames: List[str] = []  # sample tokens with >=1 agent lidar
         for scene_token, samples in self.nusc.scene_samples.items():
             for s in samples:
@@ -232,9 +268,10 @@ class V2XSimDataset:
         # trans[i, j] = T_{i<-j} = sensor_i_from_global @ global_from_sensor_j
         trans = np.einsum("iab,jbc->ijac", s_from_g, g_from_s)
 
-        gboxes = self.nusc.global_boxes(sample_token)
+        gboxes, gids = self.nusc.global_boxes(sample_token)
         gt_boxes = np.zeros((a, m, 5), np.float32)
         gt_mask = np.zeros((a, m), bool)
+        gt_ids = np.full((a, m), -1, np.int32)  # real instance-track ids
         (x0, x1), (y0, y1) = (
             self.config.grid.area_extents[0],
             self.config.grid.area_extents[1],
@@ -262,6 +299,7 @@ class V2XSimDataset:
             sel = np.nonzero(inside)[0][:m]
             gt_boxes[i, : len(sel)] = local[sel]
             gt_mask[i, : len(sel)] = True
+            gt_ids[i, : len(sel)] = gids[sel]
 
         out = {
             "points": points,
@@ -270,21 +308,85 @@ class V2XSimDataset:
             "agent_mask": agent_mask,
             "gt_boxes": gt_boxes,
             "gt_mask": gt_mask,
+            "gt_ids": gt_ids,
         }
         if self.with_seg_labels:
-            # BEV seg GT from vehicle footprints (map layers join here
-            # when map polygons are available — utils.mapping).
+            # Full 8-class BEV seg GT: nuScenes map-expansion polygons
+            # (road/sidewalk/terrain/building/vegetation), pedestrian
+            # annotation footprints, then vehicle footprints on top
+            # († coperception/datasets/V2XSimSeg.py — utils.mapping).
             from v2x_sim_tpu.utils.mapping import build_seg_labels
 
+            class_polys = self._map_class_polygons(sample_token)
+            pboxes, _ = self.nusc.global_boxes(
+                sample_token, PEDESTRIAN_CATEGORY_PREFIX
+            )
+            extents = (
+                self.config.grid.area_extents[0],
+                self.config.grid.area_extents[1],
+            )
             hh, ww = self.config.grid.bev_shape
             seg = np.zeros((a, hh, ww), np.int32)
             for i in range(a):
-                if agent_mask[i] and gt_mask[i].any():
-                    seg[i] = build_seg_labels(
-                        self.config, gt_boxes[i][gt_mask[i]]
-                    )
+                if not agent_mask[i]:
+                    continue
+                from v2x_sim_tpu.datasets.nuscenes_map import (
+                    transform_polygons,
+                )
+
+                layers = transform_polygons(class_polys, s_from_g[i], extents)
+                peds = self._boxes_to_agent(pboxes, s_from_g[i], g_from_s[i])
+                seg[i] = build_seg_labels(
+                    self.config,
+                    gt_boxes[i][gt_mask[i]],
+                    layer_polygons=layers,
+                    pedestrian_boxes=peds,
+                )
             out["seg_labels"] = seg
         return out
+
+    def _map_class_polygons(self, sample_token: str):
+        """Global-frame (class, polygons) for the sample's map location."""
+        from v2x_sim_tpu.datasets.nuscenes_map import NuScenesMapExpansion
+
+        location = self.nusc.map_location(sample_token)
+        if location is None:
+            return []
+        if location not in self._maps:
+            try:
+                self._maps[location] = NuScenesMapExpansion(
+                    self.nusc.dataroot, location
+                )
+            except FileNotFoundError:
+                self._maps[location] = None
+        exp = self._maps[location]
+        if exp is None:
+            return []
+        return exp.class_polygons(self.config.seg_class_names)
+
+    @staticmethod
+    def _boxes_to_agent(
+        gboxes: np.ndarray, s_from_g: np.ndarray, g_from_s: np.ndarray
+    ) -> np.ndarray:
+        """Global-frame (M, 5) boxes -> one agent's frame."""
+        if len(gboxes) == 0:
+            return np.zeros((0, 5), np.float64)
+        hom = np.concatenate(
+            [gboxes[:, :2], np.zeros((len(gboxes), 1)), np.ones((len(gboxes), 1))],
+            -1,
+        )
+        local_xy = (s_from_g @ hom.T).T[:, :2]
+        sensor_yaw = np.arctan2(g_from_s[1, 0], g_from_s[0, 0])
+        return np.stack(
+            [
+                local_xy[:, 0],
+                local_xy[:, 1],
+                gboxes[:, 2],
+                gboxes[:, 3],
+                gboxes[:, 4] - sensor_yaw,
+            ],
+            -1,
+        )
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
         """Yield stacked batches (host numpy) over the whole index."""

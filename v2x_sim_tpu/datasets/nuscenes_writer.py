@@ -24,6 +24,55 @@ def _tok() -> str:
     return uuid.uuid4().hex
 
 
+def _rect(x0: float, y0: float, x1: float, y1: float) -> List[List[float]]:
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+
+
+def _write_map_expansion(out_root: str, location: str) -> None:
+    """Write maps/expansion/{location}.json with all five polygon layers.
+
+    Geometry is in the world frame (== agent-0 frame): a road cross
+    through the origin, sidewalks beside it, terrain to the south, one
+    building block and one vegetation patch — all inside the 64 m BEV
+    window so every seg class appears in fixtures. The road layer uses
+    the canonical node/polygon token-reference schema; the other layers
+    use inline `exterior` records, so both parser paths stay tested
+    (datasets.nuscenes_map.NuScenesMapExpansion).
+    """
+    nodes: List[dict] = []
+    polygons: List[dict] = []
+
+    def poly_token(rect: List[List[float]]) -> str:
+        toks = []
+        for x, y in rect:
+            t = _tok()
+            nodes.append({"token": t, "x": x, "y": y})
+            toks.append(t)
+        pt = _tok()
+        polygons.append({"token": pt, "exterior_node_tokens": toks, "holes": []})
+        return pt
+
+    road_ns = poly_token(_rect(-40, -4, 40, 4))  # east-west strip
+    road_ew = poly_token(_rect(-4, -40, 4, 40))  # north-south strip
+    data = {
+        "node": nodes,
+        "polygon": polygons,
+        "road_segment": [{"token": _tok(), "polygon_token": road_ns}],
+        "drivable_area": [{"token": _tok(), "polygon_tokens": [road_ew]}],
+        "walkway": [
+            {"token": _tok(), "exterior": _rect(-40, 4, 40, 8)},
+            {"token": _tok(), "exterior": _rect(-40, -8, 40, -4)},
+        ],
+        "terrain": [{"token": _tok(), "exterior": _rect(-40, -40, 40, -12)}],
+        "building": [{"token": _tok(), "exterior": _rect(10, 10, 24, 24)}],
+        "vegetation": [{"token": _tok(), "exterior": _rect(-26, 12, -12, 27)}],
+    }
+    path = os.path.join(out_root, "maps", "expansion", f"{location}.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
 def _yaw_quat(yaw: float) -> List[float]:
     return [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
 
@@ -48,11 +97,44 @@ def write_synthetic_nuscenes(
 
     tables: Dict[str, List[dict]] = {n: [] for n in (
         "scene", "sample", "sample_data", "ego_pose", "calibrated_sensor",
-        "sample_annotation", "sensor", "category", "instance",
+        "sample_annotation", "sensor", "category", "instance", "log", "map",
     )}
 
     cat_token = _tok()
     tables["category"].append({"token": cat_token, "name": "vehicle.car"})
+    ped_cat_token = _tok()
+    tables["category"].append(
+        {"token": ped_cat_token, "name": "human.pedestrian.adult"}
+    )
+
+    # Map tables: one log/location shared by every scene, pointing at a
+    # map-expansion file with all five polygon layers (datasets.
+    # nuscenes_map) so offline fixtures exercise the full 8-class seg GT.
+    log_token = _tok()
+    location = "synthetic"
+    tables["log"].append(
+        {"token": log_token, "logfile": "synthetic", "location": location}
+    )
+    tables["map"].append(
+        {
+            "token": _tok(),
+            "log_tokens": [log_token],
+            "category": "semantic_prior",
+            "filename": f"maps/expansion/{location}.json",
+        }
+    )
+    _write_map_expansion(out_root, location)
+
+    # Two static pedestrians near the world origin (world frame ==
+    # agent-0 frame), inside every agent's 64 m BEV window.
+    ped_world = [(6.0, -5.0), (-8.0, 7.5)]
+    ped_instances = []
+    for _ in ped_world:
+        t = _tok()
+        ped_instances.append(t)
+        tables["instance"].append(
+            {"token": t, "category_token": ped_cat_token}
+        )
 
     sensor_tokens = {}
     for k in range(config.num_agents):
@@ -113,6 +195,18 @@ def write_synthetic_nuscenes(
                     }
                 )
 
+            for pi, (px, py) in enumerate(ped_world):
+                tables["sample_annotation"].append(
+                    {
+                        "token": _tok(),
+                        "sample_token": sample_token,
+                        "instance_token": ped_instances[pi],
+                        "translation": [float(px + drift * 0.5), float(py), 0.0],
+                        "size": [0.6, 0.6, 1.8],
+                        "rotation": _yaw_quat(0.0),
+                    }
+                )
+
             for k in range(config.num_agents):
                 if not scene_dict["agent_mask"][k]:
                     continue
@@ -165,6 +259,7 @@ def write_synthetic_nuscenes(
             {
                 "token": scene_token,
                 "name": f"scene-{si:04d}",
+                "log_token": log_token,
                 "first_sample_token": sample_tokens[0],
                 "last_sample_token": sample_tokens[-1],
                 "nbr_samples": frames_per_scene,

@@ -152,6 +152,7 @@ def generate_scene(
     # occluded ones.
     gt_boxes = np.zeros((a, m, 5), np.float32)
     gt_mask = np.zeros((a, m), bool)
+    gt_vehicle = np.full((a, m), -1, np.int32)  # world vehicle id per GT slot
     h, w = config.grid.bev_shape
     seg_labels = np.zeros((a, h, w), np.int32)
     rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -173,6 +174,7 @@ def generate_scene(
         sel = np.nonzero(inside)[0][:m]
         gt_boxes[i, : len(sel)] = local[sel]
         gt_mask[i, : len(sel)] = True
+        gt_vehicle[i, : len(sel)] = sel
         # BEV seg: rasterize vehicle footprints.
         for b in local[sel]:
             d = np.stack([cx - b[0], cy - b[1]], -1) @ _rot2d(b[4])
@@ -186,6 +188,7 @@ def generate_scene(
         "agent_mask": agent_mask,
         "gt_boxes": gt_boxes,
         "gt_mask": gt_mask,
+        "gt_vehicle": gt_vehicle,
         "seg_labels": seg_labels,
         "visible": visible,
     }

@@ -110,6 +110,9 @@ def main():
                 gt_boxes=raw["gt_boxes"],
                 gt_mask=raw["gt_mask"],
                 agent_mask=raw["agent_mask"],
+                # Real instance-track identities (nuScenes reader); tools.
+                # track uses them as MOT GT instead of NN-linking.
+                **({"gt_ids": raw["gt_ids"]} if "gt_ids" in raw else {}),
             )
         if args.visualize:
             _render(args.visualize, bi, raw, res, config)

@@ -3,9 +3,11 @@
 Analog of the reference's tracking pipeline (SURVEY.md §3.5:
 det result dump -> MOT conversion -> sort.py -> TrackEval). Input is the
 .npz det dumps produced by `test_det --save_dets`; each (sample, agent)
-sequence is tracked independently and evaluated against GT with
-synthetic-identity matching (GT ids assigned by nearest-neighbor linking
-across frames, since the det dump carries no instance ids).
+sequence is tracked independently and evaluated against GT. When the
+dump carries `gt_ids` (real nuScenes `instance_token`-derived track
+identities, datasets.nuscenes.NuScenesTables.global_boxes) those are the
+MOT ground truth; nearest-neighbor linking (`link_gt_ids`) remains only
+as the fallback for id-less synthetic dumps.
 """
 
 from __future__ import annotations
@@ -71,21 +73,27 @@ def main():
     # sequential dump order).
     det_seq = {}
     gt_seq = {}
+    gtid_seq = {}
+    have_ids = True
     for f in files:
         with np.load(f) as z:
             b, a = z["boxes"].shape[:2]
+            have_ids = have_ids and "gt_ids" in z
             for bi in range(b):
                 for ai in range(a):
                     if not z["agent_mask"][bi, ai]:
                         continue
                     key = ai
+                    keep = z["gt_mask"][bi, ai]
                     det_seq.setdefault(key, []).append(
                         z["boxes"][bi, ai][z["valid"][bi, ai]]
                     )
-                    gt_seq.setdefault(key, []).append(
-                        z["gt_boxes"][bi, ai][z["gt_mask"][bi, ai]]
-                    )
+                    gt_seq.setdefault(key, []).append(z["gt_boxes"][bi, ai][keep])
+                    if "gt_ids" in z:
+                        gtid_seq.setdefault(key, []).append(z["gt_ids"][bi, ai][keep])
 
+    if not have_ids:
+        print("note: dumps carry no gt_ids; GT identities NN-linked (synthetic)")
     results = {}
     for agent, frames in sorted(det_seq.items()):
         tracks = track_sequence(
@@ -94,7 +102,13 @@ def main():
             min_hits=args.min_hits,
             iou_threshold=args.iou_threshold,
         )
-        gt = link_gt_ids(gt_seq[agent])
+        if have_ids:
+            gt = [
+                np.concatenate([boxes, ids[:, None].astype(np.float64)], -1)
+                for boxes, ids in zip(gt_seq[agent], gtid_seq[agent])
+            ]
+        else:
+            gt = link_gt_ids(gt_seq[agent])
         m = evaluate_mot(gt, tracks, iou_threshold=args.eval_iou)
         m.update(evaluate_hota(gt, tracks))
         results[f"agent{agent}"] = {k: round(v, 4) for k, v in m.items()}

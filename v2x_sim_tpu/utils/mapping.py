@@ -66,6 +66,7 @@ def build_seg_labels(
     config: Config,
     vehicle_boxes: np.ndarray,
     layer_polygons: Iterable[Tuple[str, Sequence[np.ndarray]]] = (),
+    pedestrian_boxes: np.ndarray = (),
 ) -> np.ndarray:
     """Compose the BEV semantic label map for one agent.
 
@@ -73,7 +74,9 @@ def build_seg_labels(
       vehicle_boxes: (M, 5) vehicle footprints in the agent frame.
       layer_polygons: iterable of (class_name, [(N,2) polygon, ...]);
         class_name must be in config.seg_class_names. Painted in
-        iteration order (later layers overwrite), vehicles always last.
+        iteration order (later layers overwrite); actors always last.
+      pedestrian_boxes: (P, 5) pedestrian footprints, painted above the
+        map layers but below vehicles.
 
     Returns:
       (H, W) int32 class ids (0 = background).
@@ -84,6 +87,10 @@ def build_seg_labels(
         cid = name_to_id[name]
         for poly in polys:
             labels[rasterize_polygon(config, np.asarray(poly))] = cid
+    if len(pedestrian_boxes):
+        labels[rasterize_boxes(config, pedestrian_boxes)] = name_to_id[
+            "pedestrian"
+        ]
     if len(vehicle_boxes):
         labels[rasterize_boxes(config, vehicle_boxes)] = name_to_id["vehicle"]
     return labels
