@@ -38,7 +38,7 @@ CPU in offline preprocessing, from the same jitted code.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Literal, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -96,8 +96,8 @@ def assign_targets_batched(
     gt_mask: jnp.ndarray,
     anchors: jnp.ndarray,
     config: Config,
-    flat: "bool | str" = False,
-) -> AnchorTargets:
+    flat: Union[bool, Literal["sparse"]] = False,
+) -> "AnchorTargets | SparseTargets":
     """Assign GT boxes to anchors for a whole batch at once.
 
     Args:

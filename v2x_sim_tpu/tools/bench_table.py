@@ -1,0 +1,217 @@
+"""Collaboration-mode benchmark sweep -> BENCH_TABLE.md.
+
+The reference's QA artifact is its per-mode benchmark table
+(/root/reference/README.md:99-101 defers to per-task READMEs with
+mAP@0.5/0.7 rows per --com mode). This tool reproduces that artifact
+end-to-end on synthetic scenes with per-agent occlusion dropout, so the
+signature ordering — lowerbound < naive fusion <= learned fusion <=
+upperbound — is measurable offline without the (unreachable) dataset.
+
+Each mode trains from scratch on streaming synthetic batches (fresh seed
+per step: no memorization) and evaluates held-out scenes with the same
+mAP evaluator the real-data CLI uses (utils/mean_ap.eval_map_agents).
+
+Usage:
+  python -m v2x_sim_tpu.tools.bench_table --cpu --grid tiny \
+      --steps 400 --out BENCH_TABLE.md            # CI-sized, ~30 min
+  python -m v2x_sim_tpu.tools.bench_table --steps 2000 --grid full \
+      --modes lowerbound,disco,upperbound         # TPU, flagship modes
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+ALL_MODES = (
+    "lowerbound",
+    "sum",
+    "mean",
+    "max",
+    "cat",
+    "agent",
+    "when2com",
+    "who2com",
+    "v2v",
+    "disco",
+    "upperbound",
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--modes", default="all", help="comma list or 'all'")
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--eval_batches", type=int, default=8)
+    p.add_argument(
+        "--grid", default="tiny", choices=["tiny", "small", "full"],
+        help="tiny=32x32 (CPU-feasible), small=64x64, full=256x256",
+    )
+    p.add_argument("--agents", type=int, default=2)
+    p.add_argument("--occlusion", type=float, default=0.45)
+    p.add_argument("--out", default="BENCH_TABLE.md")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--score_threshold", type=float, default=0.05)
+    p.add_argument("--nms_iou", type=float, default=0.1)
+    p.add_argument("--max_boxes", type=int, default=16)
+    return p.parse_args()
+
+
+def build_config(args):
+    from v2x_sim_tpu.configs.config import Config, GridConfig
+
+    if args.grid == "tiny":
+        grid = GridConfig(
+            voxel_size=(2.0, 2.0, 1.25),
+            area_extents=((-32, 32), (-32, 32), (-3, 2)),
+        )
+        layer = 1
+    elif args.grid == "small":
+        grid = GridConfig(voxel_size=(1.0, 1.0, 0.625))
+        layer = 2
+    else:
+        grid = GridConfig()
+        layer = 3
+    return Config(grid=grid, num_agents=args.agents, fusion_layer=layer)
+
+
+def build_spec(args):
+    from v2x_sim_tpu.datasets.synthetic import SyntheticSpec
+
+    if args.grid == "tiny":
+        return SyntheticSpec(
+            num_vehicles=6, points_per_agent=512, max_gt=8,
+            points_per_vehicle=48, occlusion_prob=args.occlusion,
+            lidar_range=40.0,
+        )
+    return SyntheticSpec(occlusion_prob=args.occlusion)
+
+
+def run_mode(mode, args, config, spec):
+    import jax
+    import jax.numpy as jnp
+
+    from v2x_sim_tpu.datasets.synthetic import generate_batch
+    from v2x_sim_tpu.train.det_module import DetModule
+    from v2x_sim_tpu.utils.mean_ap import eval_map_agents
+
+    drop = ("visible", "gt_vehicle")
+
+    def to_dev(raw):
+        return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
+
+    mod = DetModule(config, mode=mode, learning_rate=args.lr)
+    raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
+    state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
+
+    t0 = time.time()
+    loss = float("nan")
+    for s in range(args.steps):
+        raw = generate_batch(
+            config, spec, batch_size=args.batch, seed=10_000 + s
+        )
+        state, metrics = mod.train_step(state, mod.prepare_batch(to_dev(raw)))
+        loss = metrics["loss"]
+    loss = float(loss)  # one sync at the end, not per step
+    train_s = time.time() - t0
+
+    det_b, det_s, det_v, gt_b, gt_m, am = [], [], [], [], [], []
+    t0 = time.time()
+    for e in range(args.eval_batches):
+        raw = generate_batch(
+            config, spec, batch_size=args.batch, seed=900_000 + e
+        )
+        prepared = mod.prepare_batch(to_dev(raw))
+        res = mod.predict(
+            state, prepared, args.max_boxes, args.nms_iou,
+            args.score_threshold,
+        )
+        det_b.append(np.asarray(res.boxes))
+        det_s.append(np.asarray(res.scores))
+        det_v.append(np.asarray(res.valid))
+        gt_b.append(raw["gt_boxes"])
+        gt_m.append(raw["gt_mask"])
+        am.append(raw["agent_mask"])
+    eval_s = time.time() - t0
+
+    maps = eval_map_agents(
+        np.concatenate(det_b),
+        np.concatenate(det_s),
+        np.concatenate(det_v),
+        np.concatenate(gt_b),
+        np.concatenate(gt_m),
+        np.concatenate(am),
+    )
+    row = {
+        "mode": mode,
+        "mAP@0.5": round(maps["mAP@0.5"], 4),
+        "mAP@0.7": round(maps["mAP@0.7"], 4),
+        "final_loss": round(loss, 3),
+        "train_s": round(train_s, 1),
+        "steps_per_s": round(args.steps / max(train_s, 1e-9), 2),
+        "eval_s": round(eval_s, 1),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def write_table(rows, args, path):
+    lines = [
+        "# Collaboration-mode benchmark (synthetic, per-agent occlusion)",
+        "",
+        f"Generated by `python -m v2x_sim_tpu.tools.bench_table "
+        f"--grid {args.grid} --steps {args.steps} --batch {args.batch} "
+        f"--agents {args.agents} --occlusion {args.occlusion} "
+        f"--seed {args.seed}`.",
+        "",
+        "Training data is streamed (fresh scenes per step); eval scenes are",
+        f"held out ({args.eval_batches} batches, seeds 900k+). Occlusion "
+        f"prob {args.occlusion}: each vehicle is independently dropped from "
+        "each agent's point cloud, so a detector can only recover occluded "
+        "vehicles through collaboration — the reference benchmark's premise "
+        "(README.md:99-101).",
+        "",
+        "| mode | mAP@0.5 | mAP@0.7 | final loss | train s | steps/s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['mode']} | {r['mAP@0.5']:.4f} | {r['mAP@0.7']:.4f} "
+            f"| {r['final_loss']:.3f} | {r['train_s']:.0f} "
+            f"| {r['steps_per_s']:.2f} |"
+        )
+    lines.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from v2x_sim_tpu.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    modes = ALL_MODES if args.modes == "all" else tuple(
+        m.strip() for m in args.modes.split(",")
+    )
+    config = build_config(args)
+    spec = build_spec(args)
+    rows = [run_mode(m, args, config, spec) for m in modes]
+    write_table(rows, args, args.out)
+
+
+if __name__ == "__main__":
+    main()
