@@ -176,6 +176,10 @@ class STPNEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Dtype = None
     s2d: bool = False
+    #: Per-stage channel widths. Default is the reference STPN geometry;
+    #: smaller tuples (e.g. width_mult'ed via DetModel) give CI-speed
+    #: models with identical structure.
+    stage_channels: Tuple[int, ...] = STAGE_CHANNELS
 
     @nn.compact
     def __call__(
@@ -191,7 +195,7 @@ class STPNEncoder(nn.Module):
         if self.s2d and not pre_blocked:
             x = space_to_depth(x)
         feats = []
-        for i, ch in enumerate(STAGE_CHANNELS):
+        for i, ch in enumerate(self.stage_channels):
             if self.s2d and i == 0:
                 mode = "s2d"
             elif self.s2d and i == 1:

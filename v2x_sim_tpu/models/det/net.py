@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.models.backbone import (
+    STAGE_CHANNELS,
     ClassificationHead,
     RegressionHead,
     STPNDecoder,
@@ -73,6 +74,10 @@ class DetModel(nn.Module):
     #: when2com/who2com only — warp requested neighbor features into the
     #: ego frame before mixing (reference --warp_flag ablation).
     warp_flag: bool = True
+    #: Uniform channel scale on the STPN stages (1.0 = reference 32..512).
+    #: Sub-1.0 models keep the exact architecture at CI-training cost —
+    #: used by the collaboration-benefit tests.
+    width_mult: float = 1.0
     axis_name: Optional[str] = None
     dtype: Optional[object] = None  # activation dtype (e.g. bfloat16)
     s2d: bool = True  # blocked execution of full-res stages (models.s2d)
@@ -95,8 +100,12 @@ class DetModel(nn.Module):
         )
         self._use_s2d = use_s2d
         blocked = use_s2d and self.blocked_heads
+        chans = tuple(
+            max(8, int(round(c * self.width_mult))) for c in STAGE_CHANNELS
+        )
         self.encoder = STPNEncoder(
-            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
+            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d,
+            stage_channels=chans,
         )
         self.decoder = STPNDecoder(
             axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
@@ -194,6 +203,7 @@ class TeacherModel(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[object] = None
     s2d: bool = True
+    width_mult: float = 1.0  # must match the student's (see DetModel)
 
     @nn.compact
     def __call__(
@@ -209,8 +219,12 @@ class TeacherModel(nn.Module):
         pre_blocked = occupancy.shape[-1] == 4 * self.config.grid.grid_shape[2]
         assert not pre_blocked or use_s2d
         x = fold_agents(occupancy)
+        chans = tuple(
+            max(8, int(round(c * self.width_mult))) for c in STAGE_CHANNELS
+        )
         feats = STPNEncoder(
-            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
+            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d,
+            stage_channels=chans,
         )(x, train, pre_blocked=pre_blocked)
         decoded = STPNDecoder(
             axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d

@@ -48,6 +48,11 @@ def parse_args():
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument(
+        "--width_mult", type=float, default=1.0,
+        help="uniform STPN channel scale; 0.25 trains to useful mAP in "
+        "CI-sized step budgets (full width needs ~10x the steps)",
+    )
     p.add_argument("--eval_batches", type=int, default=8)
     p.add_argument(
         "--grid", default="tiny", choices=["tiny", "small", "full"],
@@ -107,9 +112,16 @@ def run_mode(mode, args, config, spec):
     def to_dev(raw):
         return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
 
-    mod = DetModule(config, mode=mode, learning_rate=args.lr)
+    mod = DetModule(
+        config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult
+    )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
     state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
+
+    # Warmup step: absorb the jit compile so train_s / steps_per_s measure
+    # steady-state throughput, comparable across modes (round-1 table had
+    # the first mode 15x "slower" purely from a cold compile cache).
+    state, _ = mod.train_step(state, mod.prepare_batch(to_dev(raw0)))
 
     t0 = time.time()
     loss = float("nan")
@@ -169,7 +181,7 @@ def write_table(rows, args, path):
         f"Generated by `python -m v2x_sim_tpu.tools.bench_table "
         f"--grid {args.grid} --steps {args.steps} --batch {args.batch} "
         f"--agents {args.agents} --occlusion {args.occlusion} "
-        f"--seed {args.seed}`.",
+        f"--width_mult {args.width_mult} --seed {args.seed}`.",
         "",
         "Training data is streamed (fresh scenes per step); eval scenes are",
         f"held out ({args.eval_batches} batches, seeds 900k+). Occlusion "

@@ -69,6 +69,7 @@ class DetModule:
         compute_dtype: jnp.dtype = jnp.float32,
         use_vis: bool = False,
         warp_flag: bool = True,
+        width_mult: float = 1.0,
     ):
         self.config = config
         self.mode = mode
@@ -78,6 +79,7 @@ class DetModule:
         self.compute_dtype = compute_dtype
         self.use_vis = use_vis
         self.warp_flag = warp_flag
+        self.width_mult = width_mult
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         # Blocked heads (s2d layout) on the training path: targets are
         # blocked to match, so no transpose sits on the gradient path.
@@ -93,6 +95,7 @@ class DetModule:
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
+            width_mult=width_mult,
         )
         self.eval_model = DetModel(
             config=config,
@@ -101,6 +104,7 @@ class DetModule:
             warp_flag=warp_flag,
             axis_name=axis_name,
             dtype=model_dtype,
+            width_mult=width_mult,
         )
         # Predict path: blocked heads + lazy reg Conv_1 (evaluated at the
         # top-K cells inside decode — ops.postprocess). Shares params.
@@ -113,9 +117,10 @@ class DetModule:
             dtype=model_dtype,
             blocked_heads=self._blocked,
             lazy_reg=self._blocked,
+            width_mult=width_mult,
         )
         self.teacher = (
-            TeacherModel(config=config, dtype=model_dtype)
+            TeacherModel(config=config, dtype=model_dtype, width_mult=width_mult)
             if kd_weight > 0.0
             else None
         )
