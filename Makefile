@@ -65,3 +65,12 @@ smoke:
 	    --resume auto --logpath /tmp/v2x_smoke --num_batches 1 --batch 1 \
 	    --save_dets /tmp/v2x_smoke/dets
 	python -m v2x_sim_tpu.tools.track --dets /tmp/v2x_smoke/dets
+
+# Benchmark tables: per-mode mAP (det) / mIoU (seg) on synthetic occluded
+# scenes — the reference's per-task README tables, reproducible offline.
+bench_table:
+	python -m v2x_sim_tpu.tools.bench_table --cpu --grid tiny \
+	    --steps 600 --width_mult 0.25 --match center --out BENCH_TABLE.md
+bench_table_seg:
+	python -m v2x_sim_tpu.tools.bench_table --task seg --cpu --grid tiny \
+	    --steps 600 --width_mult 0.25 --out BENCH_TABLE_SEG.md

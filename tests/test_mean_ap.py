@@ -55,3 +55,44 @@ def test_average_precision_monotone_envelope():
     prec = np.asarray([1.0, 0.5, 0.75, 0.5])
     ap = average_precision(rec, prec)
     assert 0.5 <= ap <= 1.0
+
+
+def test_center_distance_matching():
+    """match="center": threshold is meters; a 1.5 m-off detection is a TP
+    at 2.0 m and an FP at 1.0 m, independent of box overlap."""
+    gt = np.asarray([[0, 0, 4, 2, 0.0]], np.float32)
+    det = _pad(np.asarray([[1.5, 0, 4, 2, 0.0]]), 4)[None]
+    scores = np.asarray([[0.9, 0, 0, 0]], np.float32)
+    valid = scores > 0.5
+    gt_mask = np.ones((1, 1), bool)
+    ap2 = eval_map(det, scores, valid, gt[None], gt_mask, 2.0, match="center")
+    ap1 = eval_map(det, scores, valid, gt[None], gt_mask, 1.0, match="center")
+    assert ap2 == 1.0 and ap1 == 0.0
+
+
+def test_center_matching_prefers_nearest_gt():
+    """Greedy center matching takes the nearest unmatched GT."""
+    gt = np.asarray([[0, 0, 4, 2, 0.0], [3, 0, 4, 2, 0.0]], np.float32)
+    det = _pad(np.asarray([[2.0, 0, 4, 2, 0.0], [0.2, 0, 4, 2, 0.0]]), 4)[None]
+    scores = np.asarray([[0.9, 0.8, 0, 0]], np.float32)
+    valid = scores > 0.5
+    gt_mask = np.ones((1, 2), bool)
+    # det0 (score .9) grabs GT1 (dist 1.0 < 2.0); det1 then matches GT0.
+    ap = eval_map(det, scores, valid, gt[None], gt_mask, 2.0, match="center")
+    assert ap == 1.0
+
+
+def test_center_matching_agent_keys():
+    from v2x_sim_tpu.utils.mean_ap import eval_map_agents
+
+    gt = np.zeros((1, 1, 2, 5), np.float32)
+    gt[0, 0, :, 2:4] = (4, 2)
+    gt[0, 0, 1, 0] = 10
+    det = gt.copy()
+    scores = np.full((1, 1, 2), 0.9, np.float32)
+    valid = np.ones((1, 1, 2), bool)
+    out = eval_map_agents(
+        det, scores, valid, gt, np.ones((1, 1, 2), bool),
+        np.ones((1, 1), bool), iou_thresholds=(1.0, 2.0), match="center",
+    )
+    assert out["mAP@1.0m"] == 1.0 and out["mAP@2.0m"] == 1.0

@@ -44,6 +44,10 @@ ALL_MODES = (
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--task", default="det", choices=["det", "seg"],
+        help="det: mAP table (train_codet analog); seg: mIoU table",
+    )
     p.add_argument("--modes", default="all", help="comma list or 'all'")
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--batch", type=int, default=4)
@@ -63,6 +67,17 @@ def parse_args():
     p.add_argument("--out", default="BENCH_TABLE.md")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--match", default="iou", choices=["iou", "center"],
+        help="det AP matching: rotated IoU (reference) or center distance "
+        "in meters (nuScenes-style; use at coarse CI grids where IoU@0.5 "
+        "is dominated by voxel quantization)",
+    )
+    p.add_argument(
+        "--thresholds", default=None,
+        help="comma list of AP thresholds (default: 0.5,0.7 for iou; "
+        "1.0,2.0 for center)",
+    )
     p.add_argument("--score_threshold", type=float, default=0.05)
     p.add_argument("--nms_iou", type=float, default=0.1)
     p.add_argument("--max_boxes", type=int, default=16)
@@ -153,6 +168,12 @@ def run_mode(mode, args, config, spec):
         am.append(raw["agent_mask"])
     eval_s = time.time() - t0
 
+    thresholds = tuple(
+        float(t) for t in (
+            args.thresholds.split(",") if args.thresholds
+            else ("1.0", "2.0") if args.match == "center" else ("0.5", "0.7")
+        )
+    )
     maps = eval_map_agents(
         np.concatenate(det_b),
         np.concatenate(det_s),
@@ -160,11 +181,75 @@ def run_mode(mode, args, config, spec):
         np.concatenate(gt_b),
         np.concatenate(gt_m),
         np.concatenate(am),
+        iou_thresholds=thresholds,
+        match=args.match,
     )
+    unit = "m" if args.match == "center" else ""
+    row = {"mode": mode}
+    for t in thresholds:
+        row[f"mAP@{t}{unit}"] = round(maps[f"mAP@{t}{unit}"], 4)
+    row.update({
+        "final_loss": round(loss, 3),
+        "train_s": round(train_s, 1),
+        "steps_per_s": round(args.steps / max(train_s, 1e-9), 2),
+        "eval_s": round(eval_s, 1),
+    })
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def run_mode_seg(mode, args, config, spec):
+    """Per-mode seg sweep row: streaming train -> confusion-matrix eval.
+
+    vehicle IoU (class 1) is the collaboration-sensitive number: occluded
+    vehicles are present in the GT label map but absent from the ego
+    point cloud, so only fusion can segment them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from v2x_sim_tpu.datasets.synthetic import generate_batch
+    from v2x_sim_tpu.train.seg_module import SegModule
+    from v2x_sim_tpu.utils.seg_metrics import iou_from_confusion
+
+    drop = ("visible", "gt_vehicle")
+
+    def to_dev(raw):
+        return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
+
+    mod = SegModule(
+        config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult
+    )
+    raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
+    state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
+    state, _ = mod.train_step(state, mod.prepare_batch(to_dev(raw0)))
+
+    t0 = time.time()
+    loss = float("nan")
+    for s in range(args.steps):
+        raw = generate_batch(
+            config, spec, batch_size=args.batch, seed=10_000 + s
+        )
+        state, metrics = mod.train_step(state, mod.prepare_batch(to_dev(raw)))
+        loss = metrics["loss"]
+    loss = float(loss)
+    train_s = time.time() - t0
+
+    cm = None
+    t0 = time.time()
+    for e in range(args.eval_batches):
+        raw = generate_batch(
+            config, spec, batch_size=args.batch, seed=900_000 + e
+        )
+        _, c = mod.eval_step(state, mod.prepare_batch(to_dev(raw)))
+        cm = np.asarray(c) if cm is None else cm + np.asarray(c)
+    eval_s = time.time() - t0
+
+    ious = iou_from_confusion(cm)
     row = {
         "mode": mode,
-        "mAP@0.5": round(maps["mAP@0.5"], 4),
-        "mAP@0.7": round(maps["mAP@0.7"], 4),
+        "mIoU": round(ious["miou"], 4),
+        "vehicle IoU": round(ious["iou_class1"], 4),
         "final_loss": round(loss, 3),
         "train_s": round(train_s, 1),
         "steps_per_s": round(args.steps / max(train_s, 1e-9), 2),
@@ -179,6 +264,7 @@ def write_table(rows, args, path):
         "# Collaboration-mode benchmark (synthetic, per-agent occlusion)",
         "",
         f"Generated by `python -m v2x_sim_tpu.tools.bench_table "
+        f"--task {args.task} --match {args.match} "
         f"--grid {args.grid} --steps {args.steps} --batch {args.batch} "
         f"--agents {args.agents} --occlusion {args.occlusion} "
         f"--width_mult {args.width_mult} --seed {args.seed}`.",
@@ -190,15 +276,15 @@ def write_table(rows, args, path):
         "vehicles through collaboration — the reference benchmark's premise "
         "(README.md:99-101).",
         "",
-        "| mode | mAP@0.5 | mAP@0.7 | final loss | train s | steps/s |",
-        "|---|---|---|---|---|---|",
     ]
+    cols = [c for c in rows[0] if c != "eval_s"]
+    lines.append("| " + " | ".join(cols) + " |")
+    lines.append("|" + "---|" * len(cols))
     for r in rows:
-        lines.append(
-            f"| {r['mode']} | {r['mAP@0.5']:.4f} | {r['mAP@0.7']:.4f} "
-            f"| {r['final_loss']:.3f} | {r['train_s']:.0f} "
-            f"| {r['steps_per_s']:.2f} |"
-        )
+        cells = [
+            str(r[c]) if isinstance(r[c], str) else f"{r[c]:g}" for c in cols
+        ]
+        lines.append("| " + " | ".join(cells) + " |")
     lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
@@ -221,7 +307,8 @@ def main():
     )
     config = build_config(args)
     spec = build_spec(args)
-    rows = [run_mode(m, args, config, spec) for m in modes]
+    runner = run_mode_seg if args.task == "seg" else run_mode
+    rows = [runner(m, args, config, spec) for m in modes]
     write_table(rows, args, args.out)
 
 

@@ -46,19 +46,32 @@ def eval_map(
     gt_boxes: np.ndarray,
     gt_mask: np.ndarray,
     iou_threshold: float = 0.5,
+    match: str = "iou",
 ) -> float:
     """Single-class AP over F frames of padded detections/GT.
 
     Args:
       det_boxes: (F, K, 5); det_scores: (F, K); det_valid: (F, K) bool.
       gt_boxes: (F, M, 5); gt_mask: (F, M) bool.
-      iou_threshold: rotated-IoU match threshold (0.5 or 0.7).
+      iou_threshold: match threshold — rotated IoU (0.5/0.7) when
+        match="iou" (the reference's criterion), or a center distance in
+        METERS when match="center" (nuScenes detection-style matching:
+        nearest unmatched GT within the radius; the right criterion when
+        the voxel grid is coarse relative to the threshold).
 
     Returns:
       AP in [0, 1].
     """
     f = det_boxes.shape[0]
-    iou = _batched_iou(det_boxes, gt_boxes)
+    if match == "center":
+        # Match quality = negative center distance; threshold flips sign.
+        qual = -np.linalg.norm(
+            det_boxes[:, :, None, :2] - gt_boxes[:, None, :, :2], axis=-1
+        )
+        thr = -float(iou_threshold)
+    else:
+        qual = _batched_iou(det_boxes, gt_boxes)
+        thr = float(iou_threshold)
     num_gt = int(gt_mask.sum())
     if num_gt == 0:
         return 0.0
@@ -70,9 +83,9 @@ def eval_map(
         for di in order:
             if not det_valid[fi, di]:
                 continue
-            ious = np.where(gt_mask[fi] & ~matched, iou[fi, di], -1.0)
+            ious = np.where(gt_mask[fi] & ~matched, qual[fi, di], -np.inf)
             gi = int(np.argmax(ious))
-            if ious[gi] >= iou_threshold:
+            if ious[gi] >= thr:
                 matched[gi] = True
                 records.append((det_scores[fi, di], 1))
             else:
@@ -96,17 +109,21 @@ def eval_map_agents(
     gt_mask: np.ndarray,
     agent_mask: np.ndarray,
     iou_thresholds: Sequence[float] = (0.5, 0.7),
+    match: str = "iou",
 ) -> Dict[str, float]:
     """Per-agent ("local") and averaged ("global") mAP, reference-style.
 
     Args:
       det_boxes: (F, A, K, 5) etc.; agent_mask: (F, A).
+      match: "iou" (reference) or "center" (thresholds in meters; keys
+        get an "m" suffix, e.g. "mAP@2.0m").
 
     Returns:
       {"mAP@0.5": ..., "mAP@0.7": ..., "agent{i}_mAP@0.5": ...}.
     """
     f, a = det_boxes.shape[:2]
     out: Dict[str, float] = {}
+    unit = "m" if match == "center" else ""
     for thr in iou_thresholds:
         per_agent = []
         for ai in range(a):
@@ -120,8 +137,9 @@ def eval_map_agents(
                 gt_boxes[keep, ai],
                 gt_mask[keep, ai],
                 thr,
+                match=match,
             )
             per_agent.append(ap)
-            out[f"agent{ai}_mAP@{thr}"] = ap
-        out[f"mAP@{thr}"] = float(np.mean(per_agent)) if per_agent else 0.0
+            out[f"agent{ai}_mAP@{thr}{unit}"] = ap
+        out[f"mAP@{thr}{unit}"] = float(np.mean(per_agent)) if per_agent else 0.0
     return out
