@@ -72,5 +72,5 @@ bench_table:
 	python -m v2x_sim_tpu.tools.bench_table --cpu --grid tiny \
 	    --steps 600 --width_mult 0.25 --match center --out BENCH_TABLE.md
 bench_table_seg:
-	python -m v2x_sim_tpu.tools.bench_table --task seg --cpu --grid tiny \
-	    --steps 600 --width_mult 0.25 --out BENCH_TABLE_SEG.md
+	python -m v2x_sim_tpu.tools.bench_table --task seg --cpu --grid tiny1m \
+	    --seg_depth 2 --steps 1500 --width_mult 0.25 --out BENCH_TABLE_SEG.md

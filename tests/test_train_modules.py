@@ -104,6 +104,20 @@ def test_seg_fusion_mode_steps(batch):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_seg_width_mult_steps(batch):
+    """width_mult scales the UNet like DetModel; step + eval stay sound."""
+    mod = SegModule(CFG, mode="max", width_mult=0.25)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+    state, m = mod.train_step(state, prepared)
+    assert np.isfinite(float(m["loss"]))
+    pred, cm = mod.eval_step(state, prepared)
+    assert pred.shape == (1, CFG.num_agents) + CFG.grid.bev_shape
+    # Bottleneck actually shrank: 512 -> 128.
+    k = state.params["bottleneck"]["Conv_0"]["kernel"]
+    assert k.shape[-1] == 128, k.shape
+
+
 def test_conv_lstm_cell_shapes_and_memory():
     """ConvLSTM parity item: gates update state; forget gate preserves
     memory when inputs vanish."""

@@ -73,12 +73,24 @@ class SegModel(nn.Module):
 
     #: blocked execution of the full-res stages (models.s2d); exact.
     s2d: bool = True
+    #: Uniform channel scale on UNET_CHANNELS/BOTTLENECK (1.0 = reference
+    #: 32..256/512). Sub-1.0 keeps the exact architecture at CI cost —
+    #: same knob as DetModel.width_mult.
+    width_mult: float = 1.0
+    #: Number of down/up stages (reference = 4; bottleneck sits at
+    #: H/2^depth). CI-sized grids need a shallower net so the bottleneck
+    #: — where collaboration fusion happens — retains spatial resolution
+    #: (at 32x32 BEV the reference depth leaves a 2x2 bottleneck: nothing
+    #: to fuse).
+    depth: int = 4
 
     def setup(self):
+        w = lambda c: max(8, int(round(c * self.width_mult)))
+        chans = UNET_CHANNELS[: self.depth]
         self.downs = [
             (
                 ConvBlock(
-                    ch,
+                    w(ch),
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     mode="s2d",
@@ -86,20 +98,21 @@ class SegModel(nn.Module):
                 )
                 if self.s2d and i == 0
                 else DoubleConv(
-                    ch, axis_name=self.axis_name, dtype=self.dtype,
+                    w(ch), axis_name=self.axis_name, dtype=self.dtype,
                     name=f"down{i}",
                 )
             )
-            for i, ch in enumerate(UNET_CHANNELS)
+            for i, ch in enumerate(chans)
         ]
         self.bottleneck = DoubleConv(
-            BOTTLENECK, axis_name=self.axis_name, dtype=self.dtype, name="bottleneck"
+            w(2 * chans[-1]), axis_name=self.axis_name, dtype=self.dtype,
+            name="bottleneck",
         )
-        n_up = len(UNET_CHANNELS)
+        n_up = len(chans)
         self.ups = [
             (
                 ConvBlock(
-                    ch,
+                    w(ch),
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     mode="s2d",
@@ -107,11 +120,11 @@ class SegModel(nn.Module):
                 )
                 if self.s2d and i == n_up - 1
                 else DoubleConv(
-                    ch, axis_name=self.axis_name, dtype=self.dtype,
+                    w(ch), axis_name=self.axis_name, dtype=self.dtype,
                     name=f"up{i}",
                 )
             )
-            for i, ch in enumerate(reversed(UNET_CHANNELS))
+            for i, ch in enumerate(reversed(chans))
         ]
         if self.s2d:
             from v2x_sim_tpu.models.s2d import S2DConv1x1

@@ -59,8 +59,15 @@ def parse_args():
     )
     p.add_argument("--eval_batches", type=int, default=8)
     p.add_argument(
-        "--grid", default="tiny", choices=["tiny", "small", "full"],
-        help="tiny=32x32 (CPU-feasible), small=64x64, full=256x256",
+        "--grid", default="tiny", choices=["tiny", "tiny1m", "small", "full"],
+        help="tiny=32x32/2m (CPU-feasible), tiny1m=32x32/1m (vehicle "
+        "footprints span cells — use for seg), small=64x64, full=256x256",
+    )
+    p.add_argument(
+        "--seg_depth", type=int, default=4,
+        help="UNet down/up stages (seg task only; reference = 4). The "
+        "bottleneck — where fusion happens — sits at H/2^depth: use 2 at "
+        "tiny grids so collaboration has resolution to transfer",
     )
     p.add_argument("--agents", type=int, default=2)
     p.add_argument("--occlusion", type=float, default=0.45)
@@ -93,6 +100,12 @@ def build_config(args):
             area_extents=((-32, 32), (-32, 32), (-3, 2)),
         )
         layer = 1
+    elif args.grid == "tiny1m":
+        grid = GridConfig(
+            voxel_size=(1.0, 1.0, 0.625),
+            area_extents=((-16, 16), (-16, 16), (-3, 2)),
+        )
+        layer = 1
     elif args.grid == "small":
         grid = GridConfig(voxel_size=(1.0, 1.0, 0.625))
         layer = 2
@@ -105,11 +118,11 @@ def build_config(args):
 def build_spec(args):
     from v2x_sim_tpu.datasets.synthetic import SyntheticSpec
 
-    if args.grid == "tiny":
+    if args.grid in ("tiny", "tiny1m"):
         return SyntheticSpec(
             num_vehicles=6, points_per_agent=512, max_gt=8,
             points_per_vehicle=48, occlusion_prob=args.occlusion,
-            lidar_range=40.0,
+            lidar_range=40.0 if args.grid == "tiny" else 20.0,
         )
     return SyntheticSpec(occlusion_prob=args.occlusion)
 
@@ -218,7 +231,8 @@ def run_mode_seg(mode, args, config, spec):
         return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
 
     mod = SegModule(
-        config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult
+        config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult,
+        depth=args.seg_depth,
     )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
     state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
@@ -267,7 +281,9 @@ def write_table(rows, args, path):
         f"--task {args.task} --match {args.match} "
         f"--grid {args.grid} --steps {args.steps} --batch {args.batch} "
         f"--agents {args.agents} --occlusion {args.occlusion} "
-        f"--width_mult {args.width_mult} --seed {args.seed}`.",
+        f"--width_mult {args.width_mult} --seed {args.seed}"
+        + (f" --seg_depth {args.seg_depth}" if args.task == "seg" else "")
+        + "`.",
         "",
         "Training data is streamed (fresh scenes per step); eval scenes are",
         f"held out ({args.eval_batches} batches, seeds 900k+). Occlusion "

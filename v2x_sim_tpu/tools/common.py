@@ -76,6 +76,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
         "--bf16", action="store_true", help="bfloat16 activations (MXU fast path)"
     )
     p.add_argument(
+        "--width_mult", type=float, default=1.0,
+        help="uniform channel scale on the backbone stages (1.0 = "
+        "reference widths; 0.25 = CI-cost model, same architecture)",
+    )
+    p.add_argument(
         "--use_vis",
         type=int,
         default=0,

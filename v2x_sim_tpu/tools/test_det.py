@@ -59,6 +59,7 @@ def main():
         mode=mode,
         use_vis=bool(args.use_vis),
         warp_flag=bool(args.warp_flag),
+        width_mult=args.width_mult,
     )
 
     all_det_boxes, all_scores, all_valid = [], [], []

@@ -36,7 +36,9 @@ def main():
     from v2x_sim_tpu.utils.seg_metrics import iou_from_confusion
 
     config = build_config(args)
-    module = SegModule(config, mode=resolve_mode(args))
+    module = SegModule(
+        config, mode=resolve_mode(args), width_mult=args.width_mult
+    )
 
     state = None
     cm_total = np.zeros(

@@ -81,6 +81,7 @@ def main():
         compute_dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32,
         use_vis=bool(args.use_vis),
         warp_flag=bool(args.warp_flag),
+        width_mult=args.width_mult,
     )
 
     first = next(make_batches(args, config, num_batches=1))

@@ -41,6 +41,7 @@ def main():
         mode=resolve_mode(args),
         learning_rate=args.lr,
         compute_dtype=_jnp.bfloat16 if args.bf16 else _jnp.float32,
+        width_mult=args.width_mult,
     )
     logger = RunLogger(args.logpath)
     logger.log(f"train_seg mode={resolve_mode(args)} args={vars(args)}")

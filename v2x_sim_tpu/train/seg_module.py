@@ -33,13 +33,16 @@ class SegModule:
         learning_rate: float = 1e-3,
         axis_name: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
+        width_mult: float = 1.0,
+        depth: int = 4,
     ):
         self.config = config
         self.mode = mode
         self.axis_name = axis_name
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         self.model = SegModel(
-            config=config, mode=mode, axis_name=axis_name, dtype=model_dtype
+            config=config, mode=mode, axis_name=axis_name, dtype=model_dtype,
+            width_mult=width_mult, depth=depth,
         )
         self.compute_dtype = compute_dtype
         self.tx = optax.adam(learning_rate)
