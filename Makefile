@@ -12,6 +12,9 @@ FLAGS  ?=
 .PHONY: test bench create_data train_det test_det train_seg test_seg track \
         train_det_all smoke native profile xprof
 
+test_fast:  # iteration lane, ~7 min warm (skips in-test training / dryruns)
+	python -m pytest tests/ -q -m "not slow"
+
 test:
 	python -m pytest tests/ -q
 

@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model fp32 vs bf16 forward (two compiles)
 
 from v2x_sim_tpu.configs.config import Config, GridConfig
 from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch

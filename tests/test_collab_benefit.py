@@ -112,6 +112,9 @@ def _occluded_and_visible_scores(mod, state, raw, ego_only):
     return np.array(occ_scores), np.array(vis_scores)
 
 
+pytestmark = pytest.mark.slow  # in-test training: ~4 min on 1 CPU core
+
+
 @pytest.fixture(scope="module")
 def trained():
     mod = DetModule(

@@ -11,6 +11,9 @@ with NO cpu/virtual-device environment preset.
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess dryrun: fresh interpreter + 8-dev CPU mesh compile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # 8-way DP step vs single-device, exact
 
 from v2x_sim_tpu.configs.config import Config, GridConfig
 from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
