@@ -114,3 +114,39 @@ def test_spatial_stem_matches_convblock(mesh):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
     )
+
+
+def test_spatial_full_encoder_matches_plain():
+    """All 5 STPN encoder stages (stride-1 stem + 4 stride-2 stages) run
+    row-sharded on a 4-way spatial axis and match the unsharded encoder
+    at every pyramid level."""
+    from v2x_sim_tpu.parallel.spatial import (
+        encoder_params_from_variables,
+        make_spatial_encoder,
+    )
+
+    mesh4 = make_mesh(num_devices=4, spatial=4)
+    chans = (8, 12, 16, 20, 24)
+    enc = STPNEncoder(s2d=False, stage_channels=chans)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 64, 13))
+    variables = enc.init(jax.random.PRNGKey(6), x, train=False)
+    variables = jax.tree.map(
+        lambda v: v
+        + 0.05 * jnp.arange(v.size, dtype=v.dtype).reshape(v.shape) / v.size
+        if v.ndim == 1
+        else v,
+        variables,
+    )
+    ref_feats = enc.apply(variables, x, train=False)
+
+    fn = make_spatial_encoder(mesh4, num_stages=5)
+    params = encoder_params_from_variables(variables, 5)
+    got_feats = fn(shard_rows(x, mesh4), params)
+
+    assert len(got_feats) == 5
+    for lvl, (got, ref) in enumerate(zip(got_feats, ref_feats)):
+        assert got.shape == ref.shape, (lvl, got.shape, ref.shape)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4,
+            err_msg=f"pyramid level {lvl}",
+        )

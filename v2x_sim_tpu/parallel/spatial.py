@@ -72,6 +72,36 @@ def conv3x3_halo(
     )
 
 
+def conv3x3s2_halo(
+    x: jnp.ndarray, kernel: jnp.ndarray, axis_name: str = SPATIAL_AXIS
+) -> jnp.ndarray:
+    """Stride-2 3x3 conv (torch pad-1 convention, matching the backbone's
+    explicit-pad stride-2 stages) on a row-sharded shard.
+
+    With per-shard rows H_loc even and shards row-aligned (H % n == 0),
+    shard s emits output rows [s*H_loc/2, (s+1)*H_loc/2): the conv window
+    of output row k covers input rows 2k-1..2k+1, i.e. each shard needs
+    exactly ONE halo row from the shard above (zero for shard 0 = the
+    torch top pad) and none from below."""
+    n = lax.axis_size(axis_name)
+    assert x.shape[1] % 2 == 0, f"per-shard rows must be even, got {x.shape}"
+    if n == 1:
+        from_above = jnp.zeros_like(x[:, :1])
+    else:
+        from_above = lax.ppermute(
+            x[:, -1:], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+    xh = jnp.concatenate([from_above, x], axis=1)
+    xh = jnp.pad(xh, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return lax.conv_general_dilated(
+        xh,
+        kernel.astype(x.dtype),
+        (2, 2),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def _bn_eval(x, stats, eps=1e-5):
     """Eval-mode BatchNorm with flax's op ordering (per-channel affine)."""
     mul = stats["scale"] * lax.rsqrt(stats["var"] + eps)
@@ -109,6 +139,46 @@ def stem_params_from_variables(variables, block_name: str = "ConvBlock_0"):
         }
 
     return p["Conv_0"]["kernel"], bn(0), p["Conv_1"]["kernel"], bn(1)
+
+
+def encoder_params_from_variables(variables, num_stages: int):
+    """Extract per-stage (k0, bn0, k1, bn1) tuples for the full plain-mode
+    STPNEncoder (models.backbone, s2d=False) from its flax variables."""
+    return tuple(
+        stem_params_from_variables(variables, f"ConvBlock_{i}")
+        for i in range(num_stages)
+    )
+
+
+def _encoder_shard(x, stage_params):
+    """Full STPN encoder on one row shard (eval BN): stage 0 is the
+    stride-1 stem; stages 1+ open with a stride-2 halo conv. Returns all
+    pyramid levels (each still row-sharded)."""
+    feats = []
+    for i, (k0, bn0, k1, bn1) in enumerate(stage_params):
+        conv0 = conv3x3_halo if i == 0 else conv3x3s2_halo
+        x = nn_relu(_bn_eval(conv0(x, k0), bn0))
+        x = nn_relu(_bn_eval(conv3x3_halo(x, k1), bn1))
+        feats.append(x)
+    return tuple(feats)
+
+
+def make_spatial_encoder(mesh, num_stages: int):
+    """jit the full row-sharded STPN encoder over `mesh`'s SPATIAL_AXIS.
+
+    Returns fn(x, stage_params) -> tuple of pyramid levels, everything
+    sharded P(None, SPATIAL_AXIS). Constraint: the global H must keep
+    per-shard rows even through every stride-2 stage, i.e.
+    H % (spatial_size * 2**(num_stages-1)) == 0 — e.g. H=64 on a 4-way
+    spatial axis for the 5-stage production encoder."""
+    row = P(None, SPATIAL_AXIS)
+    fn = shard_map(
+        _encoder_shard,
+        mesh=mesh,
+        in_specs=(row, P()),
+        out_specs=tuple(row for _ in range(num_stages)),
+    )
+    return jax.jit(fn)
 
 
 def make_spatial_stem(mesh):
