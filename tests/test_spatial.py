@@ -150,3 +150,61 @@ def test_spatial_full_encoder_matches_plain():
             np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-4,
             err_msg=f"pyramid level {lvl}",
         )
+
+
+def test_gspmd_full_model_spatial_sharding(mesh):
+    """The whole DetModel forward (encoder + disco fusion + decoder +
+    heads) runs under plain jit with the BEV row axis pinned to the
+    8-way spatial mesh axis — XLA's SPMD partitioner inserts the halo
+    exchanges — and matches the unsharded model.
+
+    This is the production scaling path; parallel.spatial is the
+    manual-control analog of the same partitioning."""
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+
+    from v2x_sim_tpu.configs.config import Config, GridConfig
+    from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
+    from v2x_sim_tpu.models.det.net import DetModel
+    from v2x_sim_tpu.ops.voxelize import voxelize_batch
+    from v2x_sim_tpu.parallel.mesh import SPATIAL_AXIS
+
+    mesh_s = make_mesh(num_devices=8, spatial=8)
+    cfg = Config(
+        grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)),  # 64x64x8
+        num_agents=2,
+        fusion_layer=2,
+    )
+    spec = SyntheticSpec(
+        num_vehicles=4, points_per_agent=512, max_gt=8, points_per_vehicle=32
+    )
+    raw = generate_batch(cfg, spec, batch_size=1, seed=7)
+    occ = voxelize_batch(
+        jnp.asarray(raw["points"]), jnp.asarray(raw["point_mask"]), cfg.grid
+    )
+    trans = jnp.asarray(raw["trans"])
+    am = jnp.asarray(raw["agent_mask"])
+
+    plain = DetModel(config=cfg, mode="disco", s2d=False, width_mult=0.25)
+    variables = plain.init(jax.random.PRNGKey(0), occ, trans, am, train=False)
+    ref = jax.jit(
+        lambda v, o, t, m: plain.apply(v, o, t, m, train=False)
+    )(variables, occ, trans, am)
+
+    sharded_model = DetModel(
+        config=cfg, mode="disco", s2d=False, width_mult=0.25,
+        spatial_mesh=mesh_s,
+    )
+    occ_sh = jax.device_put(
+        occ, NamedSharding(mesh_s, P2(None, None, SPATIAL_AXIS))
+    )
+    got = jax.jit(
+        lambda v, o, t, m: sharded_model.apply(v, o, t, m, train=False)
+    )(variables, occ_sh, trans, am)
+
+    np.testing.assert_allclose(
+        np.asarray(got.cls_logits), np.asarray(ref.cls_logits),
+        atol=2e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.reg), np.asarray(ref.reg), atol=2e-4, rtol=1e-4
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import Config
@@ -91,6 +92,14 @@ class DetModel(nn.Module):
     #: (models.backbone.RegressionHead lazy mode). Output `reg` is then
     #: the blocked hidden map, NOT box deltas.
     lazy_reg: bool = False
+    #: GSPMD BEV spatial sharding: a jax.sharding.Mesh with a
+    #: parallel.mesh.SPATIAL_AXIS axis. When set, sharding constraints
+    #: pin the BEV row axis of the input, every pyramid level, and the
+    #: decoded map to that axis; XLA's SPMD partitioner then executes the
+    #: convs row-sharded with automatic halo exchange (the manual-control
+    #: analog lives in parallel.spatial). Values are identical to the
+    #: unsharded model (tests/test_spatial.py).
+    spatial_mesh: Optional[object] = None
 
     def setup(self):
         assert self.mode in MODES, f"unknown mode {self.mode}"
@@ -159,6 +168,23 @@ class DetModel(nn.Module):
             return F.fuse_max(feat, trans, mask, grid)
         return self.fusion(feat, trans, mask, train)
 
+    def _pin_rows(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Constrain a folded (B*A, h, w, C) map's row axis to the
+        spatial mesh axis (no-op without `spatial_mesh`). Between pins,
+        XLA's SPMD partitioner keeps the convs row-sharded and inserts
+        the halo exchanges itself; the warp inside fusion all-gathers the
+        (small, fusion-layer) map it needs."""
+        if self.spatial_mesh is None:
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from v2x_sim_tpu.parallel.mesh import SPATIAL_AXIS
+
+        return jax.lax.with_sharding_constraint(
+            t,
+            NamedSharding(self.spatial_mesh, PartitionSpec(None, SPATIAL_AXIS)),
+        )
+
     def __call__(
         self,
         occupancy: jnp.ndarray,
@@ -174,16 +200,19 @@ class DetModel(nn.Module):
         assert not pre_blocked or self._use_s2d, (
             "blocked occupancy requires the s2d execution path"
         )
-        x = fold_agents(occupancy)
-        feats = list(self.encoder(x, train, pre_blocked=pre_blocked))
+        x = self._pin_rows(fold_agents(occupancy))
+        feats = [
+            self._pin_rows(f)
+            for f in self.encoder(x, train, pre_blocked=pre_blocked)
+        ]
 
         if self.mode not in ("lowerbound", "upperbound"):
             k = self._layer
             f = unfold_agents(feats[k], a)
             fused = self._fuse(f, trans, agent_mask, train)
-            feats[k] = fold_agents(fused)
+            feats[k] = self._pin_rows(fold_agents(fused))
 
-        decoded = self.decoder(feats, train)
+        decoded = self._pin_rows(self.decoder(feats, train))
         cls = unfold_agents(self.cls_head(decoded), a)
         reg = unfold_agents(self.reg_head(decoded), a)
         fused_feat = (
