@@ -70,6 +70,7 @@ class DetModule:
         use_vis: bool = False,
         warp_flag: bool = True,
         width_mult: float = 1.0,
+        spatial_mesh=None,
     ):
         self.config = config
         self.mode = mode
@@ -80,6 +81,7 @@ class DetModule:
         self.use_vis = use_vis
         self.warp_flag = warp_flag
         self.width_mult = width_mult
+        self.spatial_mesh = spatial_mesh
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         # Blocked heads (s2d layout) on the training path: targets are
         # blocked to match, so no transpose sits on the gradient path.
@@ -96,6 +98,7 @@ class DetModule:
             dtype=model_dtype,
             blocked_heads=self._blocked,
             width_mult=width_mult,
+            spatial_mesh=spatial_mesh,
         )
         self.eval_model = DetModel(
             config=config,
@@ -105,6 +108,7 @@ class DetModule:
             axis_name=axis_name,
             dtype=model_dtype,
             width_mult=width_mult,
+            spatial_mesh=spatial_mesh,
         )
         # Predict path: blocked heads + lazy reg Conv_1 (evaluated at the
         # top-K cells inside decode — ops.postprocess). Shares params.
@@ -118,6 +122,7 @@ class DetModule:
             blocked_heads=self._blocked,
             lazy_reg=self._blocked,
             width_mult=width_mult,
+            spatial_mesh=spatial_mesh,
         )
         self.teacher = (
             TeacherModel(config=config, dtype=model_dtype, width_mult=width_mult)
