@@ -208,3 +208,47 @@ def test_gspmd_full_model_spatial_sharding(mesh):
     np.testing.assert_allclose(
         np.asarray(got.reg), np.asarray(ref.reg), atol=2e-4, rtol=1e-4
     )
+
+
+def test_gspmd_seg_model_spatial_sharding():
+    """SegModel (UNet + bottleneck fusion) under GSPMD row sharding ==
+    unsharded, same contract as DetModel.spatial_mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+
+    from v2x_sim_tpu.configs.config import Config, GridConfig
+    from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
+    from v2x_sim_tpu.models.seg.unet import SegModel
+    from v2x_sim_tpu.ops.voxelize import voxelize_batch
+    from v2x_sim_tpu.parallel.mesh import SPATIAL_AXIS
+
+    mesh_s = make_mesh(num_devices=8, spatial=8)
+    cfg = Config(
+        grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)), num_agents=2
+    )
+    spec = SyntheticSpec(
+        num_vehicles=4, points_per_agent=512, max_gt=8, points_per_vehicle=32
+    )
+    raw = generate_batch(cfg, spec, batch_size=1, seed=9)
+    occ = voxelize_batch(
+        jnp.asarray(raw["points"]), jnp.asarray(raw["point_mask"]), cfg.grid
+    )
+    trans = jnp.asarray(raw["trans"])
+    am = jnp.asarray(raw["agent_mask"])
+
+    plain = SegModel(config=cfg, mode="mean", s2d=False, width_mult=0.25)
+    variables = plain.init(jax.random.PRNGKey(0), occ, trans, am, train=False)
+    ref = plain.apply(variables, occ, trans, am, train=False)
+
+    sharded = SegModel(
+        config=cfg, mode="mean", s2d=False, width_mult=0.25,
+        spatial_mesh=mesh_s,
+    )
+    occ_sh = jax.device_put(
+        occ, NamedSharding(mesh_s, P2(None, None, SPATIAL_AXIS))
+    )
+    got = jax.jit(
+        lambda v, o, t, m: sharded.apply(v, o, t, m, train=False)
+    )(variables, occ_sh, trans, am)
+    np.testing.assert_allclose(
+        np.asarray(got.logits), np.asarray(ref.logits), atol=2e-4, rtol=1e-4
+    )

@@ -83,6 +83,9 @@ class SegModel(nn.Module):
     #: (at 32x32 BEV the reference depth leaves a 2x2 bottleneck: nothing
     #: to fuse).
     depth: int = 4
+    #: GSPMD BEV spatial sharding (same contract as DetModel.spatial_mesh):
+    #: pins the row axis of the stage maps to the mesh's spatial axis.
+    spatial_mesh: Optional[object] = None
 
     def setup(self):
         w = lambda c: max(8, int(round(c * self.width_mult)))
@@ -154,6 +157,20 @@ class SegModel(nn.Module):
         else:
             self.fusion = None
 
+    def _pin_rows(self, t):
+        """Constrain the row axis to the spatial mesh axis (no-op without
+        spatial_mesh); see models.det.net.DetModel._pin_rows."""
+        if self.spatial_mesh is None:
+            return t
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from v2x_sim_tpu.parallel.mesh import SPATIAL_AXIS
+
+        return jax.lax.with_sharding_constraint(
+            t,
+            NamedSharding(self.spatial_mesh, PartitionSpec(None, SPATIAL_AXIS)),
+        )
+
     def _fuse(self, feat, trans, mask, train):
         grid = self.config.grid
         if self.mode == "sum":
@@ -183,9 +200,10 @@ class SegModel(nn.Module):
             x = space_to_depth(x)
         elif not self.s2d and pre_blocked:
             raise ValueError("blocked occupancy requires s2d")
+        x = self._pin_rows(x)
         skips = []
         for i, down in enumerate(self.downs):
-            x = down(x, train)
+            x = self._pin_rows(down(x, train))
             skips.append(x)
             if self.s2d and i == 0:
                 # 2x2 max pool of a blocked map = max over the 4 phase
@@ -217,7 +235,7 @@ class SegModel(nn.Module):
                     x, x.shape[:-3] + (h, w, x.shape[-1]), method="bilinear"
                 )
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = up(x, train)
+                x = self._pin_rows(up(x, train))
         if self.s2d:
             # 1x1 head per phase group, then un-block the small logits.
             logits = depth_to_space(self.head(x))
