@@ -14,6 +14,10 @@ def parse_args():
 
     add_common_args(p)
     p.add_argument("--num_batches", type=int, default=4)
+    p.add_argument(
+        "--visualize", default="",
+        help="dir for pred-vs-GT BEV label map renderings",
+    )
     return p.parse_args()
 
 
@@ -41,6 +45,7 @@ def main():
     )
 
     state = None
+    rendered = []
     cm_total = np.zeros(
         (config.num_seg_classes, config.num_seg_classes), np.int64
     )
@@ -54,14 +59,47 @@ def main():
             if path:
                 state = restore_checkpoint(path, state)
                 print(f"loaded checkpoint {path}")
-        _, cm = module.eval_step(state, module.prepare_batch(batch))
+        pred, cm = module.eval_step(state, module.prepare_batch(batch))
         cm_total += np.asarray(cm)
+        if args.visualize:
+            _render(args.visualize, len(rendered), raw, np.asarray(pred))
+            rendered.append(None)
 
     metrics = iou_from_confusion(cm_total)
     names = config.seg_class_names
     out = {names[i]: round(metrics[f"iou_class{i}"], 4) for i in range(len(names))}
     out["miou"] = round(metrics["miou"], 4)
     print(json.dumps(out, indent=1))
+
+
+def _render(outdir, bi, raw, pred):
+    """Side-by-side GT / predicted BEV class maps (agent 0, sample 0) —
+    the reference seg test script's visual-inspection analog."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception as e:  # pragma: no cover - matplotlib optional
+        print(f"--visualize skipped ({e})")
+        return
+    import os
+
+    import numpy as np
+
+    os.makedirs(outdir, exist_ok=True)
+    gt = np.asarray(raw["seg_labels"][0, 0])
+    pr = pred[0, 0]
+    vmax = max(int(gt.max()), int(pr.max()), 1)
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    for ax, img, title in ((axes[0], gt, "GT"), (axes[1], pr, "pred")):
+        ax.imshow(img, origin="lower", cmap="tab10", vmin=0, vmax=vmax)
+        ax.set_title(title)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, f"seg_{bi:04d}.png"), dpi=100)
+    plt.close(fig)
 
 
 if __name__ == "__main__":
