@@ -252,3 +252,37 @@ def test_gspmd_seg_model_spatial_sharding():
     np.testing.assert_allclose(
         np.asarray(got.logits), np.asarray(ref.logits), atol=2e-4, rtol=1e-4
     )
+
+
+def test_gspmd_tensor_parallel_channel_sharding():
+    """Tensor parallelism on the channel axis: with the input feature
+    map's C_in sharded over the mesh axis, XLA partitions the 3x3 conv's
+    channel contraction (each device holds a kernel slice; partial
+    products meet in an all-reduce) — numerically equal to unsharded.
+
+    Complements the row-sharding (sp) tests: same GSPMD machinery, the
+    natural axis for the 512-channel deep stages when BEV maps get small.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+    from v2x_sim_tpu.parallel.mesh import SPATIAL_AXIS
+
+    mesh_s = make_mesh(num_devices=8, spatial=8)
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 16, 16, 64))
+    k = jax.random.normal(jax.random.PRNGKey(12), (3, 3, 64, 32)) * 0.05
+
+    conv = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ref = conv(x, k)
+
+    x_sh = jax.device_put(
+        x, NamedSharding(mesh_s, P2(None, None, None, SPATIAL_AXIS))
+    )
+    k_sh = jax.device_put(
+        k, NamedSharding(mesh_s, P2(None, None, SPATIAL_AXIS, None))
+    )
+    got = jax.jit(conv)(x_sh, k_sh)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
