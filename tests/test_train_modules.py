@@ -137,3 +137,18 @@ def test_conv_lstm_cell_shapes_and_memory():
     # Second step with zero input: state evolves smoothly (no NaNs).
     h2, c2 = cell.apply(params, (h1, c1), jnp.zeros_like(x))
     assert np.isfinite(np.asarray(h2)).all() and np.isfinite(np.asarray(c2)).all()
+
+
+@pytest.mark.parametrize("layer", [0, 1, 4])
+def test_det_fusion_layer_ablation(batch, layer):
+    """Reference --layer k ablation: fusion at the stem (k=0 forces the
+    plain non-s2d path), mid-pyramid, and the deepest stage all step and
+    predict."""
+    cfg_l = Config(grid=CFG.grid, num_agents=2, fusion_layer=layer)
+    mod = DetModule(cfg_l, mode="mean", width_mult=0.25)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+    state, m = mod.train_step(state, prepared)
+    assert np.isfinite(float(m["loss"]))
+    res = mod.predict(state, prepared, 8, 0.1, 0.0)
+    assert np.isfinite(np.asarray(res.boxes)).all()
