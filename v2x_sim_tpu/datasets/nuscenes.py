@@ -279,17 +279,7 @@ class V2XSimDataset:
         for i in range(a):
             if not agent_mask[i] or len(gboxes) == 0:
                 continue
-            hom = np.concatenate(
-                [gboxes[:, :2], np.zeros((len(gboxes), 1)), np.ones((len(gboxes), 1))],
-                -1,
-            )
-            local_xy = (s_from_g[i] @ hom.T).T[:, :2]
-            sensor_yaw = np.arctan2(g_from_s[i][1, 0], g_from_s[i][0, 0])
-            local_yaw = gboxes[:, 4] - sensor_yaw
-            local = np.stack(
-                [local_xy[:, 0], local_xy[:, 1], gboxes[:, 2], gboxes[:, 3], local_yaw],
-                -1,
-            )
+            local = self._boxes_to_agent(gboxes, s_from_g[i], g_from_s[i])
             inside = (
                 (local[:, 0] > x0)
                 & (local[:, 0] < x1)

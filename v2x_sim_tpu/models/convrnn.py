@@ -75,6 +75,7 @@ class ConvRNNCell(ConvRNNCellBase):
 
     @nn.compact
     def __call__(self, h: Array, x: Array) -> Array:
+        assert self.nonlinearity in ("tanh", "relu"), self.nonlinearity
         act = jnp.tanh if self.nonlinearity == "tanh" else nn.relu
         return act(self._conv(self.features, "gate")(
             jnp.concatenate([h, x], axis=-1)

@@ -88,6 +88,9 @@ class SegModel(nn.Module):
     spatial_mesh: Optional[object] = None
 
     def setup(self):
+        assert 1 <= self.depth <= len(UNET_CHANNELS), (
+            f"depth must be in [1, {len(UNET_CHANNELS)}], got {self.depth}"
+        )
         w = lambda c: max(8, int(round(c * self.width_mult)))
         chans = UNET_CHANNELS[: self.depth]
         self.downs = [

@@ -99,10 +99,10 @@ def make_parallel_train_step(module, mesh: Mesh):
         if getattr(module, "mgda", False)
         else module._train_step_impl
     )
-    import inspect
-
-    takes_teacher = len(inspect.signature(impl).parameters) >= 3
-    if takes_teacher:
+    # Explicit module contract (DetModule sets takes_teacher=True; its
+    # steps accept an optional teacher_vars arg) — signature sniffing
+    # silently flips behavior when an impl gains or loses a kwarg.
+    if getattr(module, "takes_teacher", False):
         # teacher_vars rides a replicated P() spec; passing None is fine
         # (an empty pytree has no leaves for the spec to bind).
         step = shard_map(

@@ -47,7 +47,8 @@ def _add_vis(frame, config, num_samples):
         jnp.asarray(frame["points"]),
         jnp.asarray(frame["point_mask"]),
         config.grid,
-        num_samples=num_samples or DEFAULT_NUM_SAMPLES,
+        num_samples=(num_samples if num_samples is not None
+                     else DEFAULT_NUM_SAMPLES),
     )
     frame = dict(frame)
     frame["vis_maps"] = np.asarray(vis, dtype=np.int8)

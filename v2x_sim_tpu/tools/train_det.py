@@ -119,6 +119,11 @@ def main():
         )
 
         state = replicate(state, mesh)
+        if teacher_vars is not None:
+            # Replicate once up front: otherwise jit re-shards the whole
+            # teacher tree every step (and committed leaves crash with a
+            # device mismatch under --dp N --kd_flag 1).
+            teacher_vars = replicate(teacher_vars, mesh)
         train_step = make_parallel_train_step(module, mesh)
         prepare = make_parallel_prepare(module, mesh)
 

@@ -82,6 +82,9 @@ class DetModule:
         self.warp_flag = warp_flag
         self.width_mult = width_mult
         self.spatial_mesh = spatial_mesh
+        #: parallel.mesh contract: the step impls accept optional
+        #: teacher_vars as a third argument.
+        self.takes_teacher = True
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         # Blocked heads (s2d layout) on the training path: targets are
         # blocked to match, so no transpose sits on the gradient path.
