@@ -152,3 +152,24 @@ def test_det_fusion_layer_ablation(batch, layer):
     assert np.isfinite(float(m["loss"]))
     res = mod.predict(state, prepared, 8, 0.1, 0.0)
     assert np.isfinite(np.asarray(res.boxes)).all()
+
+
+def test_det_mgda_with_kd_runs(batch):
+    """MGDA + KD: three task backwards share ONE hoisted teacher forward
+    (review round-2); weights sum to 1 and losses stay finite."""
+    mod = DetModule(CFG, mode="disco", kd_weight=10.0, mgda=True,
+                    width_mult=0.25)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    teacher_vars = mod.teacher.init(
+        jax.random.PRNGKey(1),
+        mod.merged_occupancy(
+            batch["points"], batch["point_mask"], batch["trans"],
+            batch["agent_mask"],
+        ),
+        train=False,
+    )
+    prepared = mod.prepare_batch(batch)
+    state, m = mod.train_step(state, prepared, teacher_vars)
+    assert np.isfinite(float(m["kd_loss"]))
+    wsum = sum(float(v) for k, v in m.items() if k.startswith("mgda_w_"))
+    assert abs(wsum - 1.0) < 1e-5

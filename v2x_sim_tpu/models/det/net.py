@@ -215,9 +215,17 @@ class DetModel(nn.Module):
         decoded = self._pin_rows(self.decoder(feats, train))
         cls = unfold_agents(self.cls_head(decoded), a)
         reg = unfold_agents(self.reg_head(decoded), a)
-        fused_feat = (
-            unfold_agents(feats[self._layer], a) if self.kd else None
-        )
+        fused_feat = None
+        if self.kd:
+            ff = feats[self._layer]
+            if self._layer == 0 and self._use_s2d:
+                # lowerbound/upperbound students keep stage 0 blocked even
+                # at fusion_layer 0; the KD contract (TeacherModel) is
+                # plain layout there — un-block so the MSE shapes match.
+                from v2x_sim_tpu.models.s2d import depth_to_space
+
+                ff = depth_to_space(ff)
+            fused_feat = unfold_agents(ff, a)
         return DetOutput(cls, reg, fused_feat)
 
 

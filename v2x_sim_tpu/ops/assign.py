@@ -120,6 +120,14 @@ def assign_targets_batched(
     neg_thr = config.anchors.neg_iou_threshold
     dtype = anchors.dtype
     n = h * w * k
+    # The SoA lookup and the periodic Pallas IoU operands are pre-tiled
+    # to (rows, 128) lanes; fail loudly on grids that don't tile instead
+    # of dying inside jit with an opaque reshape error.
+    assert n % 128 == 0, (
+        f"H*W*K = {h}*{w}*{k} = {n} must be a multiple of 128 "
+        "(pick a BEV grid whose cell count times num_anchors tiles into "
+        "128-wide lanes)"
+    )
     anchors_flat = anchors.reshape(n, 5)
 
     # ---- 1. top-2 GT candidates per cell by center distance ---------- #
@@ -214,14 +222,19 @@ def assign_targets_batched(
     forced_anchor = jnp.where(force, (gr * w + gc) * k + own_k, -1)  # (B, M)
     anchor_ids = jnp.arange(n, dtype=jnp.int32)
     eq = anchor_ids[None, :, None] == forced_anchor[:, None, :]  # (B, n, M)
-    # Forcing only upgrades anchors whose matched IoU is below the
-    # forced score (an anchor already positive for another GT keeps it).
-    take_forced = jnp.any(eq, axis=-1) & (best_iou < pos_thr + 1e-3)
+    # Forcing only upgrades anchors that are NOT already positive for
+    # some GT (strictly below pos_thr): an anchor genuinely positive for
+    # another GT keeps its own match — the earlier `< pos_thr + 1e-3`
+    # window could flip such an anchor's regression target to the
+    # forcing GT despite a larger overlap with its matched one.
+    take_forced = jnp.any(eq, axis=-1) & (best_iou < pos_thr)
     forced_gt = jnp.max(
         jnp.where(eq, jnp.arange(m, dtype=jnp.int32)[None, None, :], -1),
         axis=-1,
     )
-    best_iou = jnp.where(take_forced, pos_thr + 1e-3, best_iou)
+    # Lift exactly to pos_thr so the positive test below fires; the true
+    # anchor-vs-GT IoU of a forced anchor is below that by construction.
+    best_iou = jnp.where(take_forced, pos_thr, best_iou)
     best_gt = jnp.where(take_forced, forced_gt, best_gt)
 
     # ---- 4. labels + regression targets (still flat) ------------------ #

@@ -34,7 +34,11 @@ OCCUPIED = 2.0
 #: on-device fallback in train.det_module both default to this, so a
 #: model trained on baked maps sees identical free-space carving when
 #: evaluated through the fallback (round-1 advisor finding).
-DEFAULT_NUM_SAMPLES = 128
+#: 384 samples over the grid-clipped segment keep the sample spacing
+#: under the 0.25 m production voxel for any ray (the in-grid segment is
+#: at most the ~91 m grid diagonal): gap-free carving like the
+#: reference's Bresenham walk, with a static shape.
+DEFAULT_NUM_SAMPLES = 384
 
 
 def visibility_map(
@@ -51,10 +55,11 @@ def visibility_map(
       mask: (P,) point validity.
       grid: grid geometry.
       origin: (3,) sensor origin in the same frame (default zeros).
-      num_samples: ray samples per point. Cells are marked free when a
-        sample lands in them, so sample spacing `ray_length / num_samples`
-        should be <= the voxel size for gap-free carving (64 is exact for
-        rays up to ~16 m at 0.25 m voxels; raise for longer ranges).
+      num_samples: ray samples per point, spread over the ray's
+        GRID-CLIPPED segment (slab test below), so the budget is never
+        wasted outside the extents: spacing <= grid_diagonal/num_samples
+        regardless of return range. Keep that under the voxel size for
+        gap-free carving (the default covers the production grid).
 
     Returns:
       (H, W, D) float32 grid in {0, 1, 2} (unknown / free / occupied).
@@ -64,15 +69,32 @@ def visibility_map(
         origin = jnp.zeros((3,), p.dtype)
     origin = jnp.asarray(origin, p.dtype)
 
-    # Sample strictly-interior fractions [0, 1): the endpoint voxel itself
-    # must stay "occupied", so samples that land in it are masked out.
+    # Clip each ray to the grid AABB (slab method) so all samples land
+    # inside the extents: without this, a 90 m return sampled over its
+    # full length leaves >0.25 m gaps between samples and the carving has
+    # holes the reference's Bresenham walk doesn't.
+    lo = jnp.asarray([e[0] for e in grid.area_extents], p.dtype)
+    hi = jnp.asarray([e[1] for e in grid.area_extents], p.dtype)
+    d = p - origin  # (P, 3)
+    big = jnp.asarray(1e30, p.dtype)
+    inv = jnp.where(jnp.abs(d) > 1e-9, 1.0 / jnp.where(d == 0, 1.0, d), big)
+    ta = (lo - origin) * inv
+    tb = (hi - origin) * inv
+    tmin = jnp.clip(jnp.max(jnp.minimum(ta, tb), axis=-1), 0.0, 1.0)  # (P,)
+    tmax = jnp.clip(jnp.min(jnp.maximum(ta, tb), axis=-1), 0.0, 1.0)
+    seg_ok = tmax > tmin
+
+    # Sample strictly-interior fractions of the clipped segment: the
+    # endpoint voxel itself must stay "occupied", so samples that land in
+    # it are masked out.
     frac = jnp.arange(num_samples, dtype=p.dtype) / num_samples  # (S,)
-    samples = origin + frac[:, None, None] * (p - origin)[None]  # (S, P, 3)
+    t = tmin[None, :] + frac[:, None] * (tmax - tmin)[None]  # (S, P)
+    samples = origin + t[..., None] * d[None]  # (S, P, 3)
 
     end_idx, _ = voxel_indices(p, grid)
     s_idx, s_valid = voxel_indices(samples, grid)
     in_end_cell = jnp.all(s_idx == end_idx[None], axis=-1)
-    s_mask = s_valid & mask[None, :] & ~in_end_cell
+    s_mask = s_valid & (mask & seg_ok)[None, :] & ~in_end_cell
 
     free = voxelize(samples.reshape(-1, 3), s_mask.reshape(-1), grid)
     occ = voxelize(p, mask, grid)

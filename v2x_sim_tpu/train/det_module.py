@@ -17,7 +17,6 @@ Differences by design (SURVEY.md §7):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -27,7 +26,7 @@ import optax
 from v2x_sim_tpu.configs.config import Config
 from v2x_sim_tpu.models.det.net import DetModel, TeacherModel
 from v2x_sim_tpu.ops.anchors import anchor_grid
-from v2x_sim_tpu.ops.assign import AnchorTargets, assign_targets_batched
+from v2x_sim_tpu.ops.assign import assign_targets_batched
 from v2x_sim_tpu.ops.nms import NMSResult, batched_nms
 from v2x_sim_tpu.ops.voxelize import voxelize_batch
 from v2x_sim_tpu.utils.losses import (
@@ -88,7 +87,8 @@ class DetModule:
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         # Blocked heads (s2d layout) on the training path: targets are
         # blocked to match, so no transpose sits on the gradient path.
-        # The eval/predict path uses standard-layout heads (same params).
+        # eval_model uses standard-layout heads; predict_model keeps the
+        # blocked heads + lazy reg decode (all three share params).
         self._blocked = mode in ("lowerbound", "upperbound") or (
             config.fusion_layer >= 1
         )
@@ -324,8 +324,12 @@ class DetModule:
         )
 
     def loss_fn(
-        self, params, batch_stats, batch, teacher_vars=None, train=True
+        self, params, batch_stats, batch, teacher_vars=None, train=True,
+        teacher_feat=None,
     ) -> Tuple[jnp.ndarray, Tuple[Any, Dict[str, jnp.ndarray]]]:
+        """`teacher_feat`: precomputed (stop-gradient) teacher KD target —
+        lets multi-backward callers (MGDA) run the frozen teacher forward
+        once instead of once per task."""
         occ = self._model_input(batch)
         if "labels" in batch:
             labels_flat = batch["labels"]
@@ -382,18 +386,22 @@ class DetModule:
         loss = cls_loss + loc_loss
         metrics = {"cls_loss": cls_loss, "loc_loss": loc_loss}
 
-        if self.kd_weight > 0.0 and teacher_vars is not None:
-            t_occ = batch.get("teacher_occupancy")
-            if t_occ is None:
-                t_occ = self.merged_occupancy(
-                    batch["points"],
-                    batch["point_mask"],
-                    batch["trans"],
-                    batch["agent_mask"],
-                )
-            t_out = self.teacher.apply(teacher_vars, t_occ, train=False)
+        if self.kd_weight > 0.0 and (
+            teacher_vars is not None or teacher_feat is not None
+        ):
+            if teacher_feat is None:
+                t_occ = batch.get("teacher_occupancy")
+                if t_occ is None:
+                    t_occ = self.merged_occupancy(
+                        batch["points"],
+                        batch["point_mask"],
+                        batch["trans"],
+                        batch["agent_mask"],
+                    )
+                t_out = self.teacher.apply(teacher_vars, t_occ, train=False)
+                teacher_feat = t_out.fused_feat
             kd_sum, kd_n = kd_mse_loss_sum(
-                out.fused_feat, jax.lax.stop_gradient(t_out.fused_feat)
+                out.fused_feat, jax.lax.stop_gradient(teacher_feat)
             )
             if self.axis_name is not None:
                 kd_n = jax.lax.psum(kd_n, self.axis_name)
@@ -428,12 +436,28 @@ class DetModule:
         from v2x_sim_tpu.utils.mgda import mgda_grads
 
         task_keys = ["cls_loss", "loc_loss"]
+        teacher_feat = None
         if self.kd_weight > 0.0 and teacher_vars is not None:
             task_keys.append("kd_loss")
+            # Run the frozen teacher ONCE; each per-task backward below
+            # re-traces loss_fn, and without hoisting the teacher forward
+            # executes len(task_keys) times per step.
+            t_occ = batch.get("teacher_occupancy")
+            if t_occ is None:
+                t_occ = self.merged_occupancy(
+                    batch["points"],
+                    batch["point_mask"],
+                    batch["trans"],
+                    batch["agent_mask"],
+                )
+            teacher_feat = jax.lax.stop_gradient(
+                self.teacher.apply(teacher_vars, t_occ, train=False).fused_feat
+            )
 
         def task_fn(params, key):
             _, (stats, metrics) = self.loss_fn(
-                params, state.batch_stats, batch, teacher_vars, True
+                params, state.batch_stats, batch, None, True,
+                teacher_feat=teacher_feat,
             )
             return metrics[key], (stats, metrics)
 

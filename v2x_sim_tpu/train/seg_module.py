@@ -8,7 +8,6 @@ train.det_module.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax

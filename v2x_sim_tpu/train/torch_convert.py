@@ -13,8 +13,9 @@ Layout rules (torch -> flax):
                    running_mean/var -> batch_stats.mean/var
   * biases pass through unchanged.
 
-`convert_state_dict` is mapping-driven: the caller provides (or
-generates via `auto_key_map`) a torch-key -> flax-path table, so
+`convert_state_dict` is mapping-driven: the caller provides a
+torch-key -> flax-path table (hand-written — see
+tests/test_reference_parity.py for the reference DiscoNet table), so
 adapting to the exact reference checkpoint naming is a table edit, not
 a code change. Equivalence of the conversion rules themselves is
 golden-tested against torch-cpu in tests/test_torch_convert.py.
