@@ -4,7 +4,7 @@ Parity target: † coperception/utils/convolutional_rnn (SURVEY.md §2.1
 row 14) — Conv{1,2,3}d x {RNN, GRU, LSTM} cells, multi-layer sequence
 wrapper, bidirectional. Oracle: the scanned sequence output must equal
 a hand-rolled per-timestep loop over the same cell (same params), and
-the GRU cell must match models.convgru.ConvGRUCell's tested math.
+the GRU cell is golden-pinned against a numpy gate-math replica.
 """
 
 import jax
@@ -46,21 +46,29 @@ def test_scan_matches_stepwise_gru():
     np.testing.assert_allclose(np.asarray(hN), np.asarray(h), atol=1e-5)
 
 
-def test_gru_cell_matches_v2vnet_cell():
-    """convrnn.ConvGRUCell(ndim=2) == models.convgru.ConvGRUCell — the
-    cell V2VNet golden-tests — given identical params."""
-    from v2x_sim_tpu.models.convgru import ConvGRUCell as LegacyCell
-
+def test_gru_cell_golden_update_rule():
+    """Pin the GRU gate math (the cell V2VNet uses) against a direct
+    numpy evaluation of z/r/candidate from the cell's own parameters."""
     h = _x((B, H, W, F), 2)
     x = _x((B, H, W, C), 3)
-    new = ConvGRUCell(features=F)
-    legacy = LegacyCell(features=F)
-    vars_legacy = legacy.init(jax.random.PRNGKey(4), h, x)
-    out_legacy = legacy.apply(vars_legacy, h, x)
-    out_new = new.apply(vars_legacy, h, x)  # same param tree names
-    np.testing.assert_allclose(
-        np.asarray(out_new), np.asarray(out_legacy), atol=1e-6
+    cell = ConvGRUCell(features=F, kernel=1)  # 1x1: exact numpy replica
+    vars_ = cell.init(jax.random.PRNGKey(4), h, x)
+    out = cell.apply(vars_, h, x)
+
+    p = vars_["params"]
+    hx = np.concatenate([np.asarray(h), np.asarray(x)], -1)
+    zr = 1.0 / (1.0 + np.exp(-(
+        hx @ np.asarray(p["gates"]["kernel"])[0, 0]
+        + np.asarray(p["gates"]["bias"])
+    )))
+    z, r = zr[..., :F], zr[..., F:]
+    rhx = np.concatenate([r * np.asarray(h), np.asarray(x)], -1)
+    cand = np.tanh(
+        rhx @ np.asarray(p["candidate"]["kernel"])[0, 0]
+        + np.asarray(p["candidate"]["bias"])
     )
+    want = (1.0 - z) * np.asarray(h) + z * cand
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
 
 
 def test_lstm_scan_matches_stepwise():

@@ -154,3 +154,22 @@ def test_track_cli_uses_real_gt_ids(tmp_path):
     # The SORT tracker re-associates by IoU, so after the swap its ids
     # follow positions, not objects: exactly 2 switches vs the REAL ids.
     assert payload["agent0"]["id_switches"] == 2.0
+
+
+def test_yaw_wraparound_keeps_track_alive():
+    """Review round-2: detections alternating between +pi and -pi (same
+    physical heading) must not corrupt the smoothed yaw toward 0 — the
+    track box would turn perpendicular and the IoU match would die."""
+    tracker = Sort(max_age=2, min_hits=1, iou_threshold=0.1)
+    ids = []
+    for f in range(8):
+        yaw = np.pi - 1e-3 if f % 2 == 0 else -np.pi + 1e-3
+        det = np.asarray([[f * 0.3, 0.0, 4.0, 2.0, yaw]], np.float32)
+        out = tracker.update(det)
+        if len(out):
+            ids.append(int(out[0, 5]))
+    assert len(ids) == 8 and len(set(ids)) == 1, ids
+    # Smoothed yaw stayed near +/-pi, not pulled toward 0.
+    trk_yaw = tracker.trackers[0].shape[2]
+    wrapped = (trk_yaw + np.pi) % (2 * np.pi) - np.pi  # -> [-pi, pi)
+    assert np.pi - abs(wrapped) < 0.3, trk_yaw

@@ -124,7 +124,7 @@ def test_conv_lstm_cell_shapes_and_memory():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from v2x_sim_tpu.models.convgru import ConvLSTMCell
+    from v2x_sim_tpu.models.convrnn import ConvLSTMCell
 
     cell = ConvLSTMCell(features=8)
     h = jnp.zeros((2, 16, 16, 8))

@@ -57,3 +57,16 @@ def test_padded_agent_contributes_nothing():
     np.testing.assert_allclose(
         np.asarray(o1)[0, :2], np.asarray(o2)[0, :2], atol=2e-4
     )
+
+
+def test_who2com_single_agent_keeps_full_self_weight():
+    """Review round-2: an ego with NO valid non-self partner must keep
+    its full features at who2com eval — argmax over an all-masked row
+    previously picked a padded agent and silently halved the ego map."""
+    mask = np.zeros((1, 3), bool)
+    mask[0, 0] = True  # only agent 0 is real
+    out = _setup(argmax_mode=True, train=False, mask=mask)
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((1, 3, 8, 8, 16)).astype(np.float32)
+    np.testing.assert_allclose(out[0, 0], feats[0, 0], atol=1e-4)

@@ -27,6 +27,22 @@ FRAME_KEYS = (
 )
 
 
+def iter_batches(dataset, batch_size: int, shuffle: bool = False, seed: int = 0):
+    """Yield stacked host batches over an indexable frame dataset.
+
+    The tail partial batch IS yielded (smaller leading dim — one extra
+    jit compile downstream) rather than silently dropped: with
+    len(dataset) < batch_size the old per-class loops yielded nothing
+    and eval tools computed metrics over zero frames without warning.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for start in range(0, len(order), batch_size):
+        items = [dataset[int(i)] for i in order[start : start + batch_size]]
+        yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
 def save_frame(cache_dir: str, name: str, frame: Dict[str, np.ndarray]) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"{name}.npz")
@@ -55,9 +71,4 @@ class NpzCacheDataset:
             return {k: z[k] for k in z.files}
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [self[int(i)] for i in order[start : start + batch_size]]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        yield from iter_batches(self, batch_size, shuffle, seed)

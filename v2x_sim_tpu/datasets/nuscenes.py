@@ -150,13 +150,6 @@ class NuScenesTables:
         e_from_s = pose_matrix(cs["translation"], cs["rotation"])
         return g_from_e @ e_from_s
 
-    def load_points(self, sd: dict) -> np.ndarray:
-        """Read a .pcd.bin sweep -> (N, 4) x, y, z, intensity (sensor frame)."""
-        path = os.path.join(self.dataroot, sd["filename"])
-        raw = np.fromfile(path, dtype=np.float32)
-        cols = PCD_FLOATS if raw.size % PCD_FLOATS == 0 else 4
-        return raw.reshape(-1, cols)[:, :4]
-
     def category_of(self, ann: dict) -> str:
         cat_token = self._instance_category.get(ann["instance_token"])
         return self._category_name.get(cat_token, ann.get("category_name", ""))
@@ -380,9 +373,6 @@ class V2XSimDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
         """Yield stacked batches (host numpy) over the whole index."""
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [self[int(i)] for i in order[start : start + batch_size]]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+        from v2x_sim_tpu.datasets.cache import iter_batches
+
+        yield from iter_batches(self, batch_size, shuffle, seed)

@@ -85,8 +85,8 @@ class ConvRNNCell(ConvRNNCellBase):
 class ConvGRUCell(ConvRNNCellBase):
     """Convolutional GRU step († convolutional_rnn.Conv2dGRU).
 
-    Same gate math as models.convgru.ConvGRUCell (which V2VNet uses and
-    tests golden-pin); generalized to ndim in {1, 2, 3}.
+    The cell V2VNet's message-passing rounds use (models/det/v2vnet.py);
+    gate math golden-pinned in tests/test_convrnn.py. ndim in {1, 2, 3}.
     """
 
     @nn.compact

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from v2x_sim_tpu.configs.config import GridConfig
-from v2x_sim_tpu.models.convgru import ConvGRUCell
+from v2x_sim_tpu.models.convrnn import ConvGRUCell
 from v2x_sim_tpu.models.det.fusion import warp_neighbors
 
 

@@ -84,15 +84,23 @@ class When2comFusion(nn.Module):
         if not train:
             if self.argmax_mode:
                 # who2com: keep only the single best partner (plus self).
-                best = jnp.argmax(
-                    jnp.where(
-                        jnp.eye(a, dtype=bool)[None], NEG_INF, scores
-                    ),
-                    axis=-1,
+                partner_scores = jnp.where(
+                    jnp.eye(a, dtype=bool)[None], NEG_INF, scores
                 )
+                best = jnp.argmax(partner_scores, axis=-1)
                 hard = nn.one_hot(best, a, dtype=attn.dtype)
+                # An ego with no valid non-self partner (single real
+                # agent) keeps full self weight — otherwise argmax over
+                # an all-NEG_INF row picks a padded agent whose (zeroed)
+                # features would silently halve the ego's own.
+                has_partner = (
+                    jnp.max(partner_scores, axis=-1) > NEG_INF / 2
+                )[..., None].astype(attn.dtype)
                 self_hot = jnp.eye(a, dtype=attn.dtype)[None]
-                attn = 0.5 * (hard + self_hot)
+                attn = (
+                    0.5 * (hard * has_partner + self_hot)
+                    + 0.5 * self_hot * (1.0 - has_partner)
+                )
             elif self.threshold:
                 # when2com 'activated': prune links weaker than uniform.
                 keep = attn >= (1.0 / jnp.maximum(jnp.sum(mask, 1), 1.0))[

@@ -64,7 +64,13 @@ class KalmanBoxTracker:
         k = self.P @ self.H.T @ np.linalg.inv(s)
         self.x = self.x + k @ y
         self.P = (np.eye(4) - k @ self.H) @ self.P
-        self.shape = 0.7 * self.shape + 0.3 * box[2:5]
+        self.shape[:2] = 0.7 * self.shape[:2] + 0.3 * box[2:4]
+        # Yaw is circular: smooth along the shortest angular difference.
+        # Linear smoothing breaks at the +/-pi wrap (detections of a
+        # west-heading vehicle alternate near +pi/-pi and would average
+        # toward 0 — a perpendicular box that kills the IoU match).
+        dyaw = (box[4] - self.shape[2] + np.pi) % (2.0 * np.pi) - np.pi
+        self.shape[2] += 0.3 * dyaw
         self.hits += 1
         self.time_since_update = 0
 

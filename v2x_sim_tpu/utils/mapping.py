@@ -16,10 +16,23 @@ import numpy as np
 from v2x_sim_tpu.configs.config import Config
 
 
+#: One (H, W) coordinate grid per geometry — build_seg_labels calls the
+#: rasterizers once per polygon per agent per frame, and rebuilding the
+#: identical 256x256 meshgrid hundreds of times per frame was pure
+#: host-side waste.
+_CENTERS_CACHE: dict = {}
+
+
 def _cell_centers(config: Config) -> Tuple[np.ndarray, np.ndarray]:
-    h, w = config.grid.bev_shape
-    rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    return config.grid.cell_center_xy(rows, cols)
+    key = (config.grid.bev_shape, config.grid.voxel_size,
+           config.grid.area_extents)
+    got = _CENTERS_CACHE.get(key)
+    if got is None:
+        h, w = config.grid.bev_shape
+        rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        got = config.grid.cell_center_xy(rows, cols)
+        _CENTERS_CACHE[key] = got
+    return got
 
 
 def rasterize_polygon(

@@ -33,10 +33,17 @@ def average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+# Module-level so repeat eval_map calls (thresholds x agents) reuse the
+# compiled executable — a fresh jax.jit wrapper per call retraces and
+# recompiles every time (function identity keys the jit cache).
+_batched_iou_jit = jax.jit(jax.vmap(rotated_iou_matrix))
+
+
 def _batched_iou(det_boxes: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
     """(F, K, 5) x (F, M, 5) -> (F, K, M) IoU, one compiled call."""
-    fn = jax.jit(jax.vmap(rotated_iou_matrix))
-    return np.asarray(fn(jnp.asarray(det_boxes), jnp.asarray(gt_boxes)))
+    return np.asarray(
+        _batched_iou_jit(jnp.asarray(det_boxes), jnp.asarray(gt_boxes))
+    )
 
 
 def eval_map(
