@@ -192,6 +192,15 @@ class NuScenesTables:
         return log.get("location") if log else None
 
 
+def _scene_split(scene_token: str) -> str:
+    """Deterministic 80/10/10 scene partition (stable across runs and
+    machines: md5 of the token, not Python's salted hash)."""
+    import hashlib
+
+    h = int(hashlib.md5(scene_token.encode()).hexdigest(), 16) % 10
+    return "train" if h < 8 else ("val" if h == 8 else "test")
+
+
 class V2XSimDataset:
     """Multi-agent frame extraction over a nuScenes-format V2X-Sim root.
 
@@ -211,7 +220,14 @@ class V2XSimDataset:
         max_gt: int = 64,
         use_rsu: bool = True,
         with_seg_labels: bool = False,
+        split: Optional[str] = None,
     ):
+        """`split`: None (all scenes) or train/val/test — a deterministic
+        80/10/10 SCENE-level partition by scene-token hash. V2X-Sim ships
+        official per-split roots; when a root holds every scene this
+        keeps train and test caches disjoint (review round-2: --split was
+        only an output directory name, so both caches held identical
+        frames and eval ran on training data)."""
         self.nusc = NuScenesTables(dataroot, version)
         self.config = config
         self.max_points = max_points or config.max_points
@@ -220,8 +236,10 @@ class V2XSimDataset:
         self.with_seg_labels = with_seg_labels
         self._maps: Dict[str, object] = {}  # location -> NuScenesMapExpansion
         self.frames: List[str] = []  # sample tokens with >=1 agent lidar
-        for scene_token, samples in self.nusc.scene_samples.items():
-            for s in samples:
+        for scene_token in sorted(self.nusc.scene_samples):
+            if split is not None and _scene_split(scene_token) != split:
+                continue
+            for s in self.nusc.scene_samples[scene_token]:
                 if s in self.nusc.sample_lidars:
                     self.frames.append(s)
 

@@ -26,7 +26,9 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+    # <= (not <): after a fresh checkout .so and .cpp share one mtime and
+    # a stale (or foreign -march=native) binary would otherwise be loaded.
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) <= os.path.getmtime(_SRC):
         try:
             subprocess.run(
                 [
@@ -39,7 +41,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True
             return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # Corrupt / wrong-platform binary: honor the numpy-fallback
+        # contract instead of raising at import-of-use time.
+        _build_failed = True
+        return None
     lib.v2x_read_pcd_batch.restype = ctypes.c_int64
     lib.v2x_read_pcd_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -118,7 +126,11 @@ def _read_pcd_batch_numpy(paths, max_points, stride_floats, transforms):
     points = np.zeros((n, max_points, 3), np.float32)
     mask = np.zeros((n, max_points), bool)
     for i, p in enumerate(paths):
-        raw = np.fromfile(p, np.float32).reshape(-1, stride_floats)[:max_points, :3]
+        flat = np.fromfile(p, np.float32)
+        # Drop a trailing partial record (truncated sweep) — the native
+        # reader truncates the same way instead of erroring.
+        usable = (flat.size // stride_floats) * stride_floats
+        raw = flat[:usable].reshape(-1, stride_floats)[:max_points, :3]
         if transforms is not None:
             t = transforms[i]
             raw = raw @ t[:3, :3].T + t[:3, 3]

@@ -168,9 +168,11 @@ def run_mode(mode, args, config, spec):
         raw = generate_batch(
             config, spec, batch_size=args.batch, seed=900_000 + e
         )
-        prepared = mod.prepare_batch(to_dev(raw))
+        # predict consumes the raw batch directly (it voxelizes itself);
+        # prepare_batch would add a full anchor-assignment pass that eval
+        # never reads, inflating eval_s for every mode.
         res = mod.predict(
-            state, prepared, args.max_boxes, args.nms_iou,
+            state, to_dev(raw), args.max_boxes, args.nms_iou,
             args.score_threshold,
         )
         det_b.append(np.asarray(res.boxes))

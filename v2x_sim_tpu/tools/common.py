@@ -101,9 +101,21 @@ def resolve_mode(args) -> str:
     return COM_ALIASES[args.com]
 
 
-def make_batches(args, config: Config, split_seed: int = 0, num_batches: int = 8):
+def make_batches(
+    args, config: Config, split_seed: int = 0, num_batches: int = 8,
+    shuffle: bool = True,
+):
     """Yield host batches from synthetic data, an .npz cache, or a
-    nuScenes-format root."""
+    nuScenes-format root.
+
+    `num_batches` and `split_seed` apply to EVERY source (review round-2:
+    they were silently ignored for npz/nuScenes data — eval size limits
+    were no-ops and every epoch replayed one shuffle order). Evaluation
+    tools pass shuffle=False so dumped detections stay in temporal order
+    for the tracking stage.
+    """
+    import itertools
+
     import numpy as np
 
     from v2x_sim_tpu.datasets.synthetic import SyntheticSpec, generate_batch
@@ -132,9 +144,19 @@ def make_batches(args, config: Config, split_seed: int = 0, num_batches: int = 8
         ds = V2XSimDataset(
             args.data, config, version=version, use_rsu=bool(args.rsu)
         )
-        yield from ds.batches(args.batch, shuffle=True, seed=args.seed)
+        yield from itertools.islice(
+            ds.batches(
+                args.batch, shuffle=shuffle, seed=args.seed + split_seed
+            ),
+            num_batches,
+        )
     else:
         from v2x_sim_tpu.datasets.cache import NpzCacheDataset
 
         ds = NpzCacheDataset(args.data)
-        yield from ds.batches(args.batch, shuffle=True, seed=args.seed)
+        yield from itertools.islice(
+            ds.batches(
+                args.batch, shuffle=shuffle, seed=args.seed + split_seed
+            ),
+            num_batches,
+        )

@@ -88,7 +88,12 @@ def main():
         version = next(
             d for d in sorted(os.listdir(args.root)) if d.startswith("v1.0")
         )
-        ds = V2XSimDataset(args.root, config, version=version, use_rsu=bool(args.rsu))
+        ds = V2XSimDataset(
+            args.root, config, version=version, use_rsu=bool(args.rsu),
+            # Scene-level partition, not just an output dir name: the
+            # train/test caches must hold disjoint scenes.
+            split=args.split if args.split in ("train", "val", "test") else None,
+        )
         for i in range(len(ds)):
             frame = ds[i]
             if args.vis:

@@ -61,6 +61,7 @@ def main():
             version=version,
             use_rsu=bool(args.rsu),
             with_seg_labels=True,
+            split=args.split if args.split in ("train", "val", "test") else None,
         )
         for i in range(len(ds)):
             save_frame(out, f"frame{i:06d}", ds[i])

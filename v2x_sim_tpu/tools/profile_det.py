@@ -71,7 +71,13 @@ def main() -> None:
         return m.decoder(run_fused(m, x), False)
 
     def s_vox(p):
-        occ = module.occupancy_from_points(p, pm)
+        # Match the production input path: upperbound runs on the
+        # MERGED-cloud occupancy (its transform+merge cost belongs in the
+        # vox stage), everything else on per-agent occupancy.
+        if module.mode == "upperbound":
+            occ = module.merged_occupancy(p, pm, tr, am)
+        else:
+            occ = module.occupancy_from_points(p, pm)
         return [occ]
 
     def s_enc(p):

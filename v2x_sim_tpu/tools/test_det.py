@@ -67,7 +67,13 @@ def main():
 
     state = None
     for bi, raw in enumerate(
-        make_batches(args, config, split_seed=777_000, num_batches=args.num_batches)
+        make_batches(
+            # Eval seeds live at +2^31 — disjoint from train's
+            # epoch*1000+i space (777k collided at --nepoch >= 778);
+            # shuffle=False keeps dumped dets in temporal order for SORT.
+            args, config, split_seed=2**31, num_batches=args.num_batches,
+            shuffle=False,
+        )
     ):
         batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
         if state is None:
@@ -76,6 +82,15 @@ def main():
             if path:
                 state = restore_checkpoint(path, state)
                 print(f"loaded checkpoint {path}")
+            elif args.resume == "auto":
+                raise SystemExit(
+                    f"--resume auto: no checkpoint under {args.logpath}"
+                )
+            else:
+                print(
+                    "WARNING: no --resume given — evaluating RANDOMLY "
+                    "INITIALIZED weights; metrics below are meaningless."
+                )
         res = module.predict(
             state, batch, config.max_boxes, args.nms_iou,
             args.score_threshold, True,  # exact top-k for eval parity

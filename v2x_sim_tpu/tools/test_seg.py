@@ -50,7 +50,9 @@ def main():
         (config.num_seg_classes, config.num_seg_classes), np.int64
     )
     for raw in make_batches(
-        args, config, split_seed=777_000, num_batches=args.num_batches
+        # See test_det: eval seeds at +2^31, temporal order preserved.
+        args, config, split_seed=2**31, num_batches=args.num_batches,
+        shuffle=False,
     ):
         batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
         if state is None:
@@ -59,6 +61,15 @@ def main():
             if path:
                 state = restore_checkpoint(path, state)
                 print(f"loaded checkpoint {path}")
+            elif args.resume == "auto":
+                raise SystemExit(
+                    f"--resume auto: no checkpoint under {args.logpath}"
+                )
+            else:
+                print(
+                    "WARNING: no --resume given — evaluating RANDOMLY "
+                    "INITIALIZED weights; metrics below are meaningless."
+                )
         pred, cm = module.eval_step(state, module.prepare_batch(batch))
         cm_total += np.asarray(cm)
         if args.visualize:

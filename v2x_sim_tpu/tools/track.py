@@ -42,10 +42,18 @@ def link_gt_ids(gt_frames):
                 boxes[:, None, :2] - prev[0][None, :, :2], axis=-1
             )
             for i in np.argsort(d.min(1)):
-                j = int(np.argmin(d[i]))
-                if d[i, j] < 3.0 and j not in used:
-                    ids[i] = prev[1][j]
-                    used.add(j)
+                # Greedy with fallback: if the nearest previous box is
+                # already claimed, take the next-nearest inside the gate
+                # (two close vehicles sharing a nearest neighbor used to
+                # cost one of them a spurious new id).
+                for j in np.argsort(d[i]):
+                    j = int(j)
+                    if d[i, j] >= 3.0:
+                        break
+                    if j not in used:
+                        ids[i] = prev[1][j]
+                        used.add(j)
+                        break
         for i in range(len(boxes)):
             if ids[i] == 0:
                 ids[i] = next_id
