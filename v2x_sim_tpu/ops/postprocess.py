@@ -87,6 +87,62 @@ def decode_topk(
     return boxes, top_scores, valid
 
 
+
+
+def _topk_blocked(cls_blk, k, exact):
+    """Shared front half of the blocked decoders: rank the binary logit
+    difference over the blocked map, sigmoid the K survivors, and
+    decompose each flat index into (blocked cell, phase-major anchor pk,
+    phase p, anchor ki) plus full-res cell coordinates (hi, wi).
+
+    cls_blk: (B, A, H/2, W/2, 4*K_anchor, C). One implementation — a
+    phase-decomposition fix applies to the eager and lazy decoders alike.
+    """
+    b, a, h2, w2, k4, nc = cls_blk.shape
+    kk = k4 // 4
+    cls_flat = cls_blk.reshape(b * a, h2, w2, k4 * nc)
+    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(b * a, -1)
+    if exact:
+        top_diff, top_idx = jax.lax.top_k(diff, k)
+    else:
+        top_diff, top_idx = jax.lax.approx_max_k(diff, k, recall_target=0.99)
+    top_scores = jax.nn.sigmoid(top_diff.astype(jnp.float32)).reshape(b, a, k)
+    cell = top_idx // k4  # blocked cell = hi2 * w2 + wi2
+    pk = top_idx % k4  # phase-major anchor index = p * K + k
+    p, ki = pk // kk, pk % kk
+    hi = 2 * (cell // w2) + p // 2
+    wi = 2 * (cell % w2) + p % 2
+    return top_scores, cell, pk, p, ki, hi, wi
+
+
+def _onehot_rows(flat, cell):
+    """Row fetch at the top cells as a one-hot MXU matmul (the
+    iota-compare fuses into the dot operand): ~10x a take_along_axis row
+    gather on TPU at these shapes. flat: (n, R, C), cell: (n, k)."""
+    sel = (cell[:, :, None] == jnp.arange(flat.shape[1])[None, None, :]).astype(
+        flat.dtype
+    )
+    return jnp.einsum("nkr,nrc->nkc", sel, flat)
+
+
+def _analytic_anchors(config, hi, wi, ki, shape):
+    """Anchors rebuilt from the decoded cell index — the grid is regular,
+    so no (H*W*K, 5) table gather: centers analytically, (l, w, yaw) via
+    a tiny one-hot contraction against the K-row anchor table."""
+    import numpy as np
+
+    b, a, k = shape
+    g = config.grid
+    cx = g.lower[0] + (hi.astype(jnp.float32) + 0.5) * g.voxel_size[0]
+    cy = g.lower[1] + (wi.astype(jnp.float32) + 0.5) * g.voxel_size[1]
+    table = jnp.asarray(np.asarray(config.anchors.sizes, np.float32))
+    ksel = (ki[..., None] == jnp.arange(table.shape[0])).astype(jnp.float32)
+    lwy = jnp.einsum("nki,ic->nkc", ksel, table)
+    return jnp.concatenate(
+        [cx[..., None], cy[..., None], lwy], axis=-1
+    ).reshape(b, a, k, 5)
+
+
 def decode_topk_blocked(
     cls_blk: jnp.ndarray,
     reg_blk: jnp.ndarray,
@@ -111,34 +167,13 @@ def decode_topk_blocked(
       reg_blk: (B, A, H/2, W/2, 4*K_anchor, code) blocked reg deltas.
       config: static Config (grid geometry + anchor table).
     """
-    import numpy as np
-
     b, a, h2, w2, k4, nc = cls_blk.shape
     kk = k4 // 4
     code = reg_blk.shape[-1]
-    cls_flat = cls_blk.reshape(b * a, h2, w2, k4 * nc)
     reg_flat = reg_blk.reshape(b * a, h2 * w2, k4 * code)
-    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(b * a, -1)
+    top_scores, cell, pk, _, ki, hi, wi = _topk_blocked(cls_blk, k, exact)
 
-    if exact:
-        top_diff, top_idx = jax.lax.top_k(diff, k)
-    else:
-        top_diff, top_idx = jax.lax.approx_max_k(diff, k, recall_target=0.99)
-    top_scores = jax.nn.sigmoid(top_diff.astype(jnp.float32)).reshape(b, a, k)
-
-    cell = top_idx // k4  # blocked cell = hi2 * w2 + wi2
-    pk = top_idx % k4  # phase-major anchor index = p * K + k
-    p, ki = pk // kk, pk % kk
-    hi = 2 * (cell // w2) + p // 2
-    wi = 2 * (cell % w2) + p % 2
-
-    # Row fetch as a one-hot MXU matmul (the iota-compare fuses into the
-    # dot operand): ~10x a take_along_axis row gather on TPU for these
-    # shapes. Lane select stays a tiny take_along_axis over 4K*code.
-    sel = (cell[:, :, None] == jnp.arange(h2 * w2)[None, None, :]).astype(
-        reg_flat.dtype
-    )
-    rows = jnp.einsum("nkr,nrc->nkc", sel, reg_flat)
+    rows = _onehot_rows(reg_flat, cell)
     # Lane select as a one-hot contraction (take_along_axis gathers are
     # VMEM-read-bound here — see decode_topk_blocked_lazy).
     psel = (pk[..., None] == jnp.arange(k4)).astype(rows.dtype)
@@ -148,18 +183,7 @@ def decode_topk_blocked(
         .astype(jnp.float32)
     )
 
-    # Analytic anchors: centers from the regular grid, (l, w, yaw) via a
-    # tiny one-hot contraction against the K-row anchor table.
-    g = config.grid
-    cx = g.lower[0] + (hi.astype(jnp.float32) + 0.5) * g.voxel_size[0]
-    cy = g.lower[1] + (wi.astype(jnp.float32) + 0.5) * g.voxel_size[1]
-    table = jnp.asarray(np.asarray(config.anchors.sizes, np.float32))
-    ksel = (ki[..., None] == jnp.arange(kk)).astype(jnp.float32)
-    lwy = jnp.einsum("nki,ic->nkc", ksel, table)
-    top_anchors = jnp.concatenate(
-        [cx[..., None], cy[..., None], lwy], axis=-1
-    ).reshape(b, a, k, 5)
-
+    top_anchors = _analytic_anchors(config, hi, wi, ki, (b, a, k))
     boxes = decode_boxes(top_codes, top_anchors)
     valid = (top_scores > score_threshold) & agent_mask[..., None]
     return boxes, top_scores, valid
@@ -190,35 +214,15 @@ def decode_topk_blocked_lazy(
     cell's phase lane group and right-multiplying reproduces the full
     conv output at that anchor exactly.
     """
-    import numpy as np
-
     b, a, h2, w2, hid4 = cls_blk.shape[:2] + reg_hidden_blk.shape[2:]
-    _, _, _, _, k4, nc = cls_blk.shape
+    kk = cls_blk.shape[-2] // 4
     hid = hid4 // 4
-    kk = k4 // 4
     code = int(b1.shape[-1]) // kk
     n = b * a
-    cls_flat = cls_blk.reshape(n, h2, w2, k4 * nc)
     hid_flat = reg_hidden_blk.reshape(n, h2 * w2, hid4)
-    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(n, -1)
+    top_scores, cell, pk, p, ki, hi, wi = _topk_blocked(cls_blk, k, exact)
 
-    if exact:
-        top_diff, top_idx = jax.lax.top_k(diff, k)
-    else:
-        top_diff, top_idx = jax.lax.approx_max_k(diff, k, recall_target=0.99)
-    top_scores = jax.nn.sigmoid(top_diff.astype(jnp.float32)).reshape(b, a, k)
-
-    cell = top_idx // k4
-    pk = top_idx % k4
-    p, ki = pk // kk, pk % kk
-    hi = 2 * (cell // w2) + p // 2
-    wi = 2 * (cell % w2) + p % 2
-
-    # One-hot row fetch of the hidden vectors at the top cells (MXU).
-    sel = (cell[:, :, None] == jnp.arange(h2 * w2)[None, None, :]).astype(
-        hid_flat.dtype
-    )
-    rows = jnp.einsum("nkr,nrc->nkc", sel, hid_flat)  # (n, k, 4*HID)
+    rows = _onehot_rows(hid_flat, cell)  # (n, k, 4*HID)
     # Select the 2x2 phase group and the anchor's code lanes via one-hot
     # contractions — NOT take_along_axis, whose gather lowering here is
     # VMEM-read-bound (measured 4.7 ms for 786 KB of output on v5e).
@@ -235,16 +239,7 @@ def decode_topk_blocked_lazy(
         .astype(jnp.float32)
     )
 
-    g = config.grid
-    cx = g.lower[0] + (hi.astype(jnp.float32) + 0.5) * g.voxel_size[0]
-    cy = g.lower[1] + (wi.astype(jnp.float32) + 0.5) * g.voxel_size[1]
-    table = jnp.asarray(np.asarray(config.anchors.sizes, np.float32))
-    ksel = (ki[..., None] == jnp.arange(kk)).astype(jnp.float32)
-    lwy = jnp.einsum("nki,ic->nkc", ksel, table)
-    top_anchors = jnp.concatenate(
-        [cx[..., None], cy[..., None], lwy], axis=-1
-    ).reshape(b, a, k, 5)
-
+    top_anchors = _analytic_anchors(config, hi, wi, ki, (b, a, k))
     boxes = decode_boxes(top_codes, top_anchors)
     valid = (top_scores > score_threshold) & agent_mask[..., None]
     return boxes, top_scores, valid
