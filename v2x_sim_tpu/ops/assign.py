@@ -279,23 +279,27 @@ def assign_targets_batched(
         ksel = jax.nn.one_hot(lanes % k, k, dtype=dtype)
         lwy = jnp.einsum("bpk,kf->bpf", ksel, table)
         sal, saw = lwy[..., 0], lwy[..., 1]
-        sgx = jnp.where(wts > 0, matched_sp[..., 0], sax)
-        sgy = jnp.where(wts > 0, matched_sp[..., 1], say)
-        sgl = jnp.where(wts > 0, matched_sp[..., 2], sal)
-        sgw = jnp.where(wts > 0, matched_sp[..., 3], saw)
-        sgyaw = jnp.where(wts > 0, matched_sp[..., 4], 0.0)
-        sdiag = jnp.sqrt(sal * sal + saw * saw)
-        reg_sp = jnp.stack(
+        # Non-positive lanes encode against their own anchor (exact zeros
+        # for the translation/size fields, so padded GT never reaches the
+        # codec's log). Tiny (B, P, 6) tensors: the shared AoS codec is
+        # fine here — the SoA inline encode below is for the (B, n) dense
+        # path only.
+        from v2x_sim_tpu.ops.boxes import encode_boxes
+
+        sgt = jnp.stack(
             [
-                (sgx - sax) / sdiag * wts,
-                (sgy - say) / sdiag * wts,
-                jnp.log(sgl / sal) * wts,
-                jnp.log(sgw / saw) * wts,
-                jnp.sin(sgyaw) * wts,
-                jnp.cos(sgyaw) * wts,
+                jnp.where(wts > 0, matched_sp[..., 0], sax),
+                jnp.where(wts > 0, matched_sp[..., 1], say),
+                jnp.where(wts > 0, matched_sp[..., 2], sal),
+                jnp.where(wts > 0, matched_sp[..., 3], saw),
+                jnp.where(wts > 0, matched_sp[..., 4], 0.0),
             ],
             axis=-1,
-        )  # (B, P, 6) — tiny, no layout concerns
+        )
+        sanch = jnp.stack(
+            [sax, say, sal, saw, jnp.zeros_like(sax)], axis=-1
+        )
+        reg_sp = encode_boxes(sgt, sanch) * wts[..., None]
         # Capacity accounting: positive cells beyond the top-Pc keep their
         # positive cls labels but lose their localization targets — report
         # the drop count instead of truncating silently.
