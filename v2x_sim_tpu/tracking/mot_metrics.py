@@ -84,14 +84,26 @@ def evaluate_hota(
 ) -> Dict[str, float]:
     """HOTA (Higher Order Tracking Accuracy), averaged over IoU alphas.
 
-    Follows the standard decomposition HOTA_a = sqrt(DetA_a * AssA_a):
-    per-frame Hungarian matching at IoU >= alpha gives TP/FN/FP (DetA);
-    each TP's association score A(c) = TPA / (TPA + FNA + FPA) over the
-    whole sequence gives AssA. (TrackEval additionally iterates the
-    matching against association scores; this single-pass variant tracks
-    it closely and needs no vendored dependency.)
+    TrackEval-fidelity two-pass algorithm (TrackEval
+    trackeval/metrics/hota.py, the evaluator /root/reference/README.md:111
+    defers to):
+
+      pass 1 — accumulate, per (gt_id, track_id) pair, the Jaccard-
+        normalized per-frame similarity (iou / (row_sum + col_sum - iou))
+        into `potential_matches`, plus per-id frame counts; the global
+        alignment score is potential / (gt_count + tr_count - potential).
+      pass 2 — per frame, Hungarian-match on
+        global_alignment * iou (NOT raw iou: ambiguous detections are
+        steered toward the track they associate with sequence-wide), then
+        threshold the chosen matches at each alpha for TP/FN/FP and the
+        per-alpha matches_count used by AssA.
+
+    HOTA_a = sqrt(DetA_a * AssA_a); DetA_a = TP/(TP+FN+FP); AssA_a =
+    mean over TPs of A(c) = TPA/(TPA+FNA+FPA) computed from the matched
+    pair counts. Also reports LocA (mean matched IoU).
     """
     assert len(gt_frames) == len(trk_frames)
+    eps = float(np.finfo("float").eps)
     # Precompute per-frame IoU matrices + id arrays once.
     frames = []
     for gt, trk in zip(gt_frames, trk_frames):
@@ -100,48 +112,70 @@ def evaluate_hota(
         iou = rotated_iou_matrix_np(gt[:, :5], trk[:, :5])
         frames.append((gt[:, 5].astype(int), trk[:, 5].astype(int), iou))
 
-    # Per-id frame counts for association denominators.
+    # Pass 1: per-id frame counts + Jaccard-accumulated potential matches.
     gt_count: Dict[int, int] = {}
     tr_count: Dict[int, int] = {}
-    for gids, tids, _ in frames:
+    potential: Dict[tuple, float] = {}
+    for gids, tids, iou in frames:
         for g in gids:
             gt_count[g] = gt_count.get(g, 0) + 1
         for t in tids:
             tr_count[t] = tr_count.get(t, 0) + 1
+        if iou.size:
+            denom = iou.sum(0)[None, :] + iou.sum(1)[:, None] - iou
+            sim = np.where(denom > eps, iou / np.maximum(denom, eps), 0.0)
+            for r, g in enumerate(gids):
+                for c, t in enumerate(tids):
+                    if sim[r, c] > 0:
+                        key = (g, t)
+                        potential[key] = potential.get(key, 0.0) + sim[r, c]
 
-    hotas, detas, assas = [], [], []
-    for alpha in alphas:
-        tp_pairs: List[tuple] = []
-        fn = fp = 0
-        pair_count: Dict[tuple, int] = {}
-        for gids, tids, iou in frames:
-            if iou.size:
-                rows, cols = linear_sum_assignment(-iou)
-                matched_g, matched_t = set(), set()
-                for r, c in zip(rows, cols):
-                    if iou[r, c] >= alpha:
-                        key = (gids[r], tids[c])
-                        pair_count[key] = pair_count.get(key, 0) + 1
-                        tp_pairs.append(key)
-                        matched_g.add(r)
-                        matched_t.add(c)
-                fn += len(gids) - len(matched_g)
-                fp += len(tids) - len(matched_t)
-            else:
-                fn += len(gids)
-                fp += len(tids)
-        tp = len(tp_pairs)
-        if tp + fn + fp == 0:
+    def _alignment(key):
+        p = potential.get(key, 0.0)
+        return p / (gt_count[key[0]] + tr_count[key[1]] - p)
+
+    # Pass 2: one Hungarian per frame on alignment-weighted IoU; threshold
+    # the chosen matches per alpha.
+    n_alpha = len(alphas)
+    tp = np.zeros(n_alpha)
+    fn = np.zeros(n_alpha)
+    fp = np.zeros(n_alpha)
+    loc_sum = np.zeros(n_alpha)
+    pair_count = [dict() for _ in range(n_alpha)]  # per alpha: (g,t) -> TPA
+    for gids, tids, iou in frames:
+        if iou.size:
+            score = np.array(
+                [[_alignment((g, t)) for t in tids] for g in gids]
+            ) * iou
+            rows, cols = linear_sum_assignment(-score)
+            msim = iou[rows, cols]
+            for a, alpha in enumerate(alphas):
+                ok = msim >= alpha - eps
+                n_match = int(ok.sum())
+                tp[a] += n_match
+                fn[a] += len(gids) - n_match
+                fp[a] += len(tids) - n_match
+                loc_sum[a] += float(msim[ok].sum())
+                pc = pair_count[a]
+                for r, c in zip(rows[ok], cols[ok]):
+                    key = (gids[r], tids[c])
+                    pc[key] = pc.get(key, 0) + 1
+        else:
+            fn += len(gids)
+            fp += len(tids)
+
+    hotas, detas, assas, locas = [], [], [], []
+    for a in range(n_alpha):
+        total = tp[a] + fn[a] + fp[a]
+        if total == 0:
             continue
-        det_a = tp / (tp + fn + fp)
-        if tp:
+        det_a = tp[a] / total
+        if tp[a]:
             ass = 0.0
-            for (g, t) in tp_pairs:
-                tpa = pair_count[(g, t)]
-                fna = gt_count[g] - tpa
-                fpa = tr_count[t] - tpa
-                ass += tpa / (tpa + fna + fpa)
-            ass_a = ass / tp
+            for (g, t), tpa in pair_count[a].items():
+                ass += tpa * (tpa / (gt_count[g] + tr_count[t] - tpa))
+            ass_a = ass / tp[a]
+            locas.append(loc_sum[a] / tp[a])
         else:
             ass_a = 0.0
         detas.append(det_a)
@@ -152,4 +186,5 @@ def evaluate_hota(
         "hota": float(np.mean(hotas)) if hotas else 0.0,
         "det_a": float(np.mean(detas)) if detas else 0.0,
         "ass_a": float(np.mean(assas)) if assas else 0.0,
+        "loc_a": float(np.mean(locas)) if locas else 0.0,
     }
