@@ -152,6 +152,53 @@ def test_spatial_full_encoder_matches_plain():
         )
 
 
+def test_spatial_stem_train_step_matches_flax(mesh):
+    """One SGD train step of the stage-0 stem, 8-way row-sharded with
+    BN-stat pmean over SPATIAL_AXIS and grads psum'd through the halo
+    ppermutes, == the unsharded flax ConvBlock train step: same loss,
+    same updated params, same updated BN running stats (VERDICT r2 #8)."""
+    from v2x_sim_tpu.parallel.spatial import make_spatial_stem_train_step
+
+    lr = 0.1
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 32, 16, 13))
+    target = jax.random.normal(jax.random.PRNGKey(21), (2, 32, 16, 16))
+    block = ConvBlock(16, stride=1, mode="plain")
+    variables = block.init(jax.random.PRNGKey(22), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    # Unsharded flax reference: loss -> grads -> SGD update + BN stats.
+    def flax_loss(p):
+        y, mut = block.apply(
+            {"params": p, "batch_stats": stats}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.mean((y - target) ** 2), mut["batch_stats"]
+
+    (ref_loss, ref_stats), ref_g = jax.value_and_grad(
+        flax_loss, has_aux=True
+    )(params)
+    ref_params = jax.tree.map(lambda p, g: p - lr * g, params, ref_g)
+
+    step = make_spatial_stem_train_step(mesh, learning_rate=lr)
+    new_params, new_stats, loss = step(
+        params, stats, shard_rows(x, mesh), shard_rows(target, mesh)
+    )
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for got, ref in zip(
+        jax.tree.leaves(new_params), jax.tree.leaves(ref_params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+    for got, ref in zip(
+        jax.tree.leaves(new_stats), jax.tree.leaves(ref_stats)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+
 def test_gspmd_full_model_spatial_sharding(mesh):
     """The whole DetModel forward (encoder + disco fusion + decoder +
     heads) runs under plain jit with the BEV row axis pinned to the

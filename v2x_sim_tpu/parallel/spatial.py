@@ -15,9 +15,15 @@ the torch pad-1 convention the backbone uses — so the sharded stage is
 numerically identical to the unsharded one (tests/test_spatial.py
 asserts this on an 8-way CPU mesh).
 
-Scope: inference-style eval (BatchNorm running stats). Training under
-spatial sharding additionally needs BN stat psums over SPATIAL_AXIS;
-the DP path in parallel.mesh already shows that pattern over `data`.
+Training is covered too: `make_spatial_stem_train_step` runs a full
+optimization step of the stage-0 stem under row sharding — train-mode
+BatchNorm whose batch statistics are `pmean`'d over SPATIAL_AXIS (the
+DP pattern from parallel.mesh, applied to the spatial axis), gradients
+flowing through the `ppermute` halo exchange (its transpose is the
+reverse ppermute, so cross-shard cotangents ride the same ICI links),
+and a grad psum across shards. tests/test_spatial.py asserts exact
+equivalence of loss, updated params, and updated BN running stats
+against the unsharded flax ConvBlock train step.
 """
 
 from __future__ import annotations
@@ -194,6 +200,92 @@ def make_spatial_stem(mesh):
         mesh=mesh,
         in_specs=(row, P(), P(), P(), P()),
         out_specs=row,
+    )
+    return jax.jit(fn)
+
+
+def _bn_train_shard(
+    x, scale, bias, mean_ra, var_ra, axis_name, momentum=0.9, eps=1e-5
+):
+    """Train-mode BatchNorm on a row shard: batch statistics are the
+    GLOBAL (B, H, W) moments, obtained by `pmean`ing the local moments
+    over the spatial axis (shards are equal-sized, so the mean of local
+    means is the global mean). Matches flax nn.BatchNorm semantics
+    (use_fast_variance: var = E[x^2] - E[x]^2; running stats updated with
+    the batch moments at `momentum`)."""
+    axes = (0, 1, 2)
+    mean = x.mean(axes)
+    msq = (x * x).mean(axes)
+    if axis_name is not None:
+        mean = lax.pmean(mean, axis_name)
+        msq = lax.pmean(msq, axis_name)
+    var = msq - mean * mean
+    y = (x - mean) * lax.rsqrt(var + eps) * scale + bias
+    new_mean = momentum * mean_ra + (1.0 - momentum) * mean
+    new_var = momentum * var_ra + (1.0 - momentum) * var
+    return y, new_mean, new_var
+
+
+def _stem_shard_train(
+    x, params, stats, axis_name=SPATIAL_AXIS, momentum=0.9, eps=1e-5
+):
+    """Stage-0 ConvBlock body in TRAIN mode on one row shard.
+
+    `params` / `stats` use the flax ConvBlock tree layout
+    (Conv_{0,1}.kernel, BatchNorm_{0,1}.{scale,bias} / {mean,var}) so the
+    caller can feed `variables["params"]["ConvBlock_0"]` verbatim.
+    Returns (activations shard, updated batch_stats tree) — the stats are
+    already global (pmean'd), identical on every shard."""
+    new_stats = {}
+    h = x
+    for i in range(2):
+        h = conv3x3_halo(h, params[f"Conv_{i}"]["kernel"], axis_name)
+        bn_p = params[f"BatchNorm_{i}"]
+        bn_s = stats[f"BatchNorm_{i}"]
+        h, m, v = _bn_train_shard(
+            h, bn_p["scale"], bn_p["bias"], bn_s["mean"], bn_s["var"],
+            axis_name, momentum, eps,
+        )
+        new_stats[f"BatchNorm_{i}"] = {"mean": m, "var": v}
+        h = nn_relu(h)
+    return h, new_stats
+
+
+def make_spatial_stem_train_step(mesh, learning_rate: float = 0.1):
+    """jit one SGD training step of the row-sharded stage-0 stem.
+
+    Returns fn(params, stats, x, target) -> (new_params, new_stats, loss)
+    with x/target sharded P(None, SPATIAL_AXIS) and params replicated.
+    Loss = global mean squared error vs `target`. Gradients are computed
+    per shard (flowing through the halo ppermutes) and psum'd, so the
+    update equals the unsharded full-batch SGD step exactly
+    (tests/test_spatial.py::test_spatial_stem_train_step_matches_flax).
+    """
+    row = P(None, SPATIAL_AXIS)
+
+    def step(params, stats, x, target):
+        def local_loss(p):
+            y, new_stats = _stem_shard_train(x, p, stats)
+            return ((y - target) ** 2).sum(), (new_stats, y.size)
+
+        (lsum, (new_stats, numel)), g = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params)
+        denom = lax.psum(jnp.asarray(numel, lsum.dtype), SPATIAL_AXIS)
+        loss = lax.psum(lsum, SPATIAL_AXIS) / denom
+        g = jax.tree.map(
+            lambda t: lax.psum(t, SPATIAL_AXIS) / denom, g
+        )
+        new_params = jax.tree.map(
+            lambda p, gg: p - learning_rate * gg, params, g
+        )
+        return new_params, new_stats, loss
+
+    fn = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), row, row),
+        out_specs=(P(), P(), P()),
     )
     return jax.jit(fn)
 
