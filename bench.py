@@ -4,21 +4,40 @@ Measures the full flagship inference pipeline — padded LiDAR points ->
 on-device voxelization -> STPN backbone -> DiscoNet 6-agent fusion ->
 heads -> box decode -> rotated NMS — at the production geometry
 (256 x 256 x 13 BEV, 6 agents), end to end under one jit, on the real
-TPU chip the driver provides.
+TPU chip the driver provides. Also measures the training step (fwd +
+bwd + adam at the same geometry) and reports achieved TFLOP/s + MFU
+from the compiled executables' own FLOP counts.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Extra keys: train_scenes_per_sec (step-only — the reference bakes
+anchor targets offline in create_data, so per-step assignment is not
+part of its training loop either), train_e2e_scenes_per_sec (streaming
+prepare+step), tflops / mfu_pct (inference), train_tflops /
+train_mfu_pct.
 
-vs_baseline: the reference never published throughput (BASELINE.md); the
-driver's north star is >=5x a PyTorch-GPU baseline. We normalize against
-REFERENCE_GPU_SCENES_PER_SEC, derived from a LOCAL MEASUREMENT of the
-reconstructed reference graph (v2x_sim_tpu/baselines/torch_ref.py — STPN
-backbone + heads + DiscoNet fusion, production 256x256x13 / 6-agent
-geometry) on torch-cpu, scaled by a documented CPU-core->GPU factor.
+Resilience (round-2 lesson: BENCH_r02 died with a bare traceback when
+the TPU tunnel's libtpu mismatched the persisted AOT cache): the
+default entry point is an ORCHESTRATOR that runs the measurement in a
+bounded subprocess; on failure/timeout it wipes the persistent compile
+cache and retries once; it ALWAYS prints a JSON line — a diagnostic
+{"error": ...} one if both attempts fail.
+
+vs_baseline: the reference never published throughput (BASELINE.md);
+the driver's north star is >=5x a PyTorch-GPU baseline. We normalize
+against REFERENCE_GPU_SCENES_PER_SEC, derived from a LOCAL MEASUREMENT
+of the reconstructed reference graph (v2x_sim_tpu/baselines/torch_ref.py
+— STPN backbone + heads + DiscoNet fusion, production 256x256x13 /
+6-agent geometry) on torch-cpu, scaled by a documented CPU-core->GPU
+factor (bracket 50-150x, point estimate 100x — see BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
+import subprocess
+import sys
 import time
 
 # Measured 2026-08-17 on this machine (1 x86 core, torch-cpu fp32):
@@ -35,16 +54,35 @@ REFERENCE_GPU_SCENES_PER_SEC = (
     REFERENCE_TORCH_CPU_SCENES_PER_SEC * CPU_CORE_TO_GPU_SCALE
 )  # = 29.8 scenes/sec — consistent with round 1's 30.0 estimate
 
-import os as _os
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec).
+V5E_BF16_PEAK_FLOPS = 197e12
 
-BATCH = int(_os.environ.get("V2X_BENCH_BATCH", "16"))  # sweet spot; see docs/PERF.md
+BATCH = int(os.environ.get("V2X_BENCH_BATCH", "16"))  # sweet spot; PERF.md
 STEPS = 20
+TRAIN_STEPS = 10
+METRIC_NAME = "6-agent BEV det scenes/sec/chip (disco, e2e infer)"
+ATTEMPT_TIMEOUT_S = int(os.environ.get("V2X_BENCH_TIMEOUT", "1500"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
 
-def main() -> None:
+def _compiled_flops(lowered_compiled) -> float:
+    """Per-execution FLOP count from the compiled executable's own cost
+    analysis (authoritative for MFU: counts what XLA actually emitted,
+    including the s2d stages' deliberate 4x FLOP overhead). Returns 0.0
+    if the backend doesn't expose it."""
+    try:
+        ca = lowered_compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def run() -> None:
+    """The actual measurement (runs inside the bounded subprocess)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from v2x_sim_tpu.utils.jit_cache import enable_compilation_cache
 
@@ -86,6 +124,8 @@ def main() -> None:
         )
         return res, full
 
+    infer_flops = _compiled_flops(step.lower(batch, jnp.float32(0.0)).compile())
+
     # Warmup / compile.
     out, carry = step(batch, jnp.float32(0.0))
     _ = float(carry)
@@ -96,21 +136,136 @@ def main() -> None:
         out, carry = step(batch, carry)
     _ = float(carry)
     dt = time.perf_counter() - t0
-
     scenes_per_sec = BATCH * STEPS / dt
+    infer_tflops = infer_flops * STEPS / dt / 1e12
+
+    # ---------------------------------------------------------------- #
+    # Training throughput (flagship mode, same geometry).
+    #
+    # train_scenes_per_sec: step-only — parity with the reference's
+    # training loop, whose DataLoader reads anchor targets PREBAKED by
+    # create_data (SURVEY.md §3.1); our prepare_batch is that offline
+    # stage, run on-device and cacheable per epoch.
+    # train_e2e_scenes_per_sec: streaming prepare+step, fresh targets
+    # every step (what a no-cache pipeline would sustain). Both prepare
+    # and step run on the one TensorCore, so they serialize in device
+    # time; interleaved dispatch below hides only host time.
+    # ---------------------------------------------------------------- #
+    tstate = module.init(jax.random.PRNGKey(1), batch)
+
+    prepared = module.prepare_batch(batch)
+    jax.block_until_ready(prepared)
+
+    # Honesty chain for training comes free: step k+1's input state is
+    # step k's output (donated), so the final loss fetch forces the whole
+    # sequence. (Do NOT rebuild the batch eagerly per step — an eager op
+    # on the prepared occupancy changes its layout and forces a
+    # recompile inside the timed loop.)
+    tstate, metrics = module.train_step(tstate, prepared)  # compile
+    train_flops = _compiled_flops(
+        module.train_step.lower(tstate, prepared).compile()
+    )
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_STEPS):
+        tstate, metrics = module.train_step(tstate, prepared)
+    _ = float(metrics["loss"])
+    dt_step = time.perf_counter() - t0
+    train_sps = BATCH * TRAIN_STEPS / dt_step
+    train_tflops = train_flops * TRAIN_STEPS / dt_step / 1e12
+
+    # Streaming: interleave prepare (next batch) with step dispatch.
+    # Both run on the one TensorCore, so device times add; the overlap
+    # hides host/dispatch time only.
+    t0 = time.perf_counter()
+    nxt = prepared
+    for _ in range(TRAIN_STEPS):
+        cur = nxt
+        nxt = module.prepare_batch(batch)
+        tstate, metrics = module.train_step(tstate, cur)
+    _ = float(metrics["loss"])
+    dt_e2e = time.perf_counter() - t0
+    train_e2e_sps = BATCH * TRAIN_STEPS / dt_e2e
+
     print(
         json.dumps(
             {
-                "metric": "6-agent BEV det scenes/sec/chip (disco, e2e infer)",
+                "metric": METRIC_NAME,
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/sec",
                 "vs_baseline": round(
                     scenes_per_sec / REFERENCE_GPU_SCENES_PER_SEC, 3
                 ),
+                "tflops": round(infer_tflops, 1),
+                "mfu_pct": round(100 * infer_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 1),
+                "train_scenes_per_sec": round(train_sps, 2),
+                "train_tflops": round(train_tflops, 1),
+                "train_mfu_pct": round(
+                    100 * train_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 1
+                ),
+                "train_e2e_scenes_per_sec": round(train_e2e_sps, 2),
             }
         )
     )
 
 
+def _attempt() -> tuple:
+    """One bounded subprocess attempt. Returns (json_line | None, tail)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run"],
+            capture_output=True,
+            text=True,
+            timeout=ATTEMPT_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stderr or "") + (e.stdout or ""))[-800:]
+        return None, f"timeout after {ATTEMPT_TIMEOUT_S}s; tail: {tail}"
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in obj and proc.returncode == 0:
+                return line, ""
+    return None, f"rc={proc.returncode}; stderr tail: {proc.stderr[-800:]}"
+
+
+def main() -> None:
+    """Orchestrator: bounded attempt -> cache wipe -> one retry ->
+    guaranteed JSON output either way."""
+    line, err = _attempt()
+    if line is None:
+        # Round-2 failure mode: persisted AOT executables built by a
+        # different libtpu than the tunnel's current one fail at load.
+        # A stale-cache failure is indistinguishable from a tunnel-down
+        # failure from out here, so wipe and retry covers both cheaply.
+        shutil.rmtree(CACHE_DIR, ignore_errors=True)
+        line, err2 = _attempt()
+        err = f"attempt1: {err} || attempt2 (cache wiped): {err2}"
+    if line is not None:
+        print(line)
+        return
+    print(
+        json.dumps(
+            {
+                "metric": METRIC_NAME,
+                "value": 0.0,
+                "unit": "scenes/sec",
+                "vs_baseline": 0.0,
+                "error": err,
+            }
+        )
+    )
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        run()
+    else:
+        main()
