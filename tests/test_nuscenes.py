@@ -129,3 +129,96 @@ def test_real_instance_track_ids(dataset_root):
     assert (ids0 >= 0).all() and len(set(ids0.tolist())) == len(ids0)
     # writer drifts vehicles only slightly: identity sets overlap heavily
     assert len(set(ids0.tolist()) & set(ids1.tolist())) >= max(1, len(ids0) - 2)
+
+
+# --------------------------------------------------------------------- #
+# Irregular real-data shapes (VERDICT r2 #9): non-keyframe sweeps,
+# duplicate keyframes, RSU-absent / missing-agent scenes.
+# --------------------------------------------------------------------- #
+
+
+def test_non_keyframe_sweeps_are_ignored(tmp_path):
+    """Intermediate `is_key_frame=False` sweep rows (pointing at decoy
+    empty files) must not displace the keyframe in the index, and frames
+    must load the real points."""
+    root = str(tmp_path / "sweeps")
+    write_synthetic_nuscenes(
+        root, CFG, SPEC, num_scenes=1, frames_per_scene=2, seed=3,
+        sweep_rows=2,
+    )
+    t = NuScenesTables(root)
+    for samples in t.scene_samples.values():
+        for s in samples:
+            for sd in t.sample_lidars[s].values():
+                assert sd["is_key_frame"]
+                assert "decoy" not in sd["filename"]
+    ds = V2XSimDataset(root, CFG, max_points=512, max_gt=8)
+    item = ds[0]
+    assert item["point_mask"][item["agent_mask"]].any(axis=1).all()
+
+
+def test_duplicate_keyframes_pick_newest(tmp_path):
+    """Two keyframe rows per (sample, agent): the reader must pick the
+    newest timestamp (the one with real points), deterministically —
+    not whichever JSON row order delivered last."""
+    root = str(tmp_path / "dups")
+    write_synthetic_nuscenes(
+        root, CFG, SPEC, num_scenes=1, frames_per_scene=2, seed=4,
+        duplicate_keyframes=True,
+    )
+    t = NuScenesTables(root)
+    for samples in t.scene_samples.values():
+        for s in samples:
+            for sd in t.sample_lidars[s].values():
+                assert "decoy" not in sd["filename"]
+    ds = V2XSimDataset(root, CFG, max_points=512, max_gt=8)
+    for i in range(len(ds)):
+        item = ds[i]
+        # every present agent carries real (non-decoy) points
+        assert item["point_mask"][item["agent_mask"]].any(axis=1).all()
+
+
+def test_rsu_absent_and_missing_agents(tmp_path):
+    """A scene where only agents 1..2 have lidar (no RSU, fewer vehicles
+    than the config allows): agent_mask reflects reality, GT exists only
+    for present agents, and the batch iterator still works."""
+    root = str(tmp_path / "partial")
+    write_synthetic_nuscenes(
+        root, CFG, SPEC, num_scenes=1, frames_per_scene=2, seed=5,
+        present_agents=(1, 2),
+    )
+    ds = V2XSimDataset(root, CFG, max_points=512, max_gt=8)
+    assert len(ds) == 2
+    item = ds[0]
+    np.testing.assert_array_equal(
+        item["agent_mask"], np.array([False, True, True])
+    )
+    assert not item["gt_mask"][0].any()
+    assert item["gt_mask"][1].any() and item["gt_mask"][2].any()
+    assert not item["point_mask"][0].any()
+    batches = list(ds.batches(batch_size=2))
+    assert batches and batches[0]["points"].shape[0] == 2
+
+
+def test_malformed_lidar_channel_is_skipped(tmp_path):
+    """A sample_data row with a non-integer channel suffix must be
+    skipped, not crash the index build."""
+    import json
+    import os
+
+    root = str(tmp_path / "badchan")
+    write_synthetic_nuscenes(
+        root, CFG, SPEC, num_scenes=1, frames_per_scene=1, seed=6
+    )
+    path = os.path.join(root, "v1.0-mini", "sample_data.json")
+    with open(path) as f:
+        rows = json.load(f)
+    bad = dict(rows[0])
+    bad["token"] = "bad" * 10
+    bad["channel"] = "LIDAR_TOP_id_x"
+    rows.append(bad)
+    with open(path, "w") as f:
+        json.dump(rows, f)
+    t = NuScenesTables(root)  # must not raise
+    ds = V2XSimDataset(root, CFG, max_points=512, max_gt=8)
+    assert len(ds) == 1

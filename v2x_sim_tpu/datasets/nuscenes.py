@@ -122,8 +122,19 @@ class NuScenesTables:
             for s in samples:
                 self.sample_scene[s] = token
 
+        # Deterministic keyframe pick per (sample, agent): real V2X-Sim
+        # logs can carry several lidar sample_data rows per agent per
+        # sample (intermediate sweeps with is_key_frame=False, or
+        # duplicate keyframes from resimulated segments). Sorting by
+        # (timestamp, token) and letting the last row win selects the
+        # newest keyframe, with a stable token tiebreak — instead of
+        # whatever JSON row order the file happened to have.
         self.sample_lidars: Dict[str, Dict[int, dict]] = {}
-        for sd in self.tables["sample_data"].values():
+        rows = sorted(
+            self.tables["sample_data"].values(),
+            key=lambda r: (r.get("timestamp", 0), r["token"]),
+        )
+        for sd in rows:
             channel = sd.get("channel")
             if channel is None:
                 cs = self.tables["calibrated_sensor"][sd["calibrated_sensor_token"]]
@@ -132,8 +143,11 @@ class NuScenesTables:
             if not channel.startswith("LIDAR_TOP_id_"):
                 continue
             if not sd.get("is_key_frame", True):
-                continue
-            agent_id = int(channel.rsplit("_", 1)[1])
+                continue  # non-keyframe sweeps never index a frame
+            try:
+                agent_id = int(channel.rsplit("_", 1)[1])
+            except ValueError:
+                continue  # malformed channel suffix — skip, don't crash
             self.sample_lidars.setdefault(sd["sample_token"], {})[agent_id] = sd
 
         self.sample_annotations: Dict[str, List[dict]] = {}

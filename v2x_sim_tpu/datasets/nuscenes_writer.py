@@ -85,12 +85,26 @@ def write_synthetic_nuscenes(
     frames_per_scene: int = 2,
     version: str = "v1.0-mini",
     seed: int = 0,
+    present_agents=None,
+    sweep_rows: int = 0,
+    duplicate_keyframes: bool = False,
 ) -> str:
     """Write a synthetic dataset in nuScenes format. Returns out_root.
 
     Each frame re-generates a synthetic world (for simplicity, static
     identities across frames within a scene: vehicles drift slightly so
     tracking has something to follow).
+
+    Irregular-record knobs (VERDICT r2 #9 — real V2X-Sim logs contain
+    shapes the happy-path fixtures never exercised):
+      present_agents: only these agent ids get lidar rows (e.g. (1, 2) =
+        RSU-absent scene with fewer than 5 vehicles).
+      sweep_rows: emit N extra `is_key_frame=False` intermediate-sweep
+        sample_data rows per (sample, agent), pointing at a decoy file —
+        the reader must index keyframes only.
+      duplicate_keyframes: emit a second, EARLIER-timestamp keyframe row
+        per (sample, agent) pointing at an EMPTY point file — the reader
+        must deterministically pick the newest keyframe.
     """
     base = os.path.join(out_root, version)
     os.makedirs(base, exist_ok=True)
@@ -210,6 +224,8 @@ def write_synthetic_nuscenes(
             for k in range(config.num_agents):
                 if not scene_dict["agent_mask"][k]:
                     continue
+                if present_agents is not None and k not in present_agents:
+                    continue
                 # Agent pose in world frame = trans from agent-0 (world).
                 a2w = scene_dict["trans"][0, k]  # T_{0<-k} = world_from_k
                 yaw = float(np.arctan2(a2w[1, 0], a2w[0, 0]))
@@ -251,9 +267,49 @@ def write_synthetic_nuscenes(
                         "filename": rel,
                         "fileformat": "pcd",
                         "is_key_frame": True,
+                        "timestamp": 1_000_000 * fi,
                         "channel": f"LIDAR_TOP_id_{k}",
                     }
                 )
+                decoy_rel = None
+                if sweep_rows or duplicate_keyframes:
+                    # Decoy file: empty point payload. Reading it instead
+                    # of the keyframe file is detectable (zero points).
+                    decoy_rel = (
+                        f"sweeps/LIDAR_TOP_id_{k}/{scene_token}_{fi}_decoy"
+                        ".pcd.bin"
+                    )
+                    np.zeros((0, 5), np.float32).tofile(
+                        os.path.join(out_root, decoy_rel)
+                    )
+                for sw in range(sweep_rows):
+                    tables["sample_data"].append(
+                        {
+                            "token": _tok(),
+                            "sample_token": sample_token,
+                            "ego_pose_token": ego_token,
+                            "calibrated_sensor_token": cs_token,
+                            "filename": decoy_rel,
+                            "fileformat": "pcd",
+                            "is_key_frame": False,
+                            "timestamp": 1_000_000 * fi + 50_000 * (sw + 1),
+                            "channel": f"LIDAR_TOP_id_{k}",
+                        }
+                    )
+                if duplicate_keyframes:
+                    tables["sample_data"].append(
+                        {
+                            "token": _tok(),
+                            "sample_token": sample_token,
+                            "ego_pose_token": ego_token,
+                            "calibrated_sensor_token": cs_token,
+                            "filename": decoy_rel,
+                            "fileformat": "pcd",
+                            "is_key_frame": True,
+                            "timestamp": 1_000_000 * fi - 10_000,
+                            "channel": f"LIDAR_TOP_id_{k}",
+                        }
+                    )
 
         tables["scene"].append(
             {
