@@ -233,7 +233,14 @@ class TeacherModel(nn.Module):
     """Early-fusion teacher for DiscoNet KD
     († coperception/models/det/TeacherNet.py): runs the backbone on
     merged-cloud occupancy and exposes the intermediate feature map at the
-    fusion layer as the distillation target."""
+    fusion layer as the distillation target.
+
+    Submodule names deliberately match DetModel's (encoder / decoder /
+    cls_head / reg_head): the reference's TeacherNet IS the early-fusion
+    upperbound architecture, trained as the upperbound config and loaded
+    frozen for `--kd_flag 1` — so here an upperbound-trained DetModel
+    TrainState loads verbatim as the frozen teacher variables
+    ({"params": state.params, "batch_stats": state.batch_stats})."""
 
     config: Config
     fusion_layer: Optional[int] = None
@@ -242,38 +249,49 @@ class TeacherModel(nn.Module):
     s2d: bool = True
     width_mult: float = 1.0  # must match the student's (see DetModel)
 
-    @nn.compact
-    def __call__(
-        self, occupancy: jnp.ndarray, train: bool = False
-    ) -> DetOutput:
-        a = occupancy.shape[1]
-        k = (
+    def setup(self):
+        # KD feature at layer 0 stays plain layout (DetModel contract).
+        self._use_s2d = self.s2d and self._layer >= 1
+        chans = tuple(
+            max(8, int(round(c * self.width_mult))) for c in STAGE_CHANNELS
+        )
+        self.encoder = STPNEncoder(
+            axis_name=self.axis_name, dtype=self.dtype, s2d=self._use_s2d,
+            stage_channels=chans,
+        )
+        self.decoder = STPNDecoder(
+            axis_name=self.axis_name, dtype=self.dtype, s2d=self._use_s2d
+        )
+        self.cls_head = ClassificationHead(
+            self.config.anchors.num_anchors, self.config.num_classes,
+            dtype=self.dtype, s2d=self._use_s2d,
+        )
+        self.reg_head = RegressionHead(
+            self.config.anchors.num_anchors, self.config.anchors.box_code_size,
+            dtype=self.dtype, s2d=self._use_s2d,
+        )
+
+    @property
+    def _layer(self) -> int:
+        return (
             self.config.fusion_layer
             if self.fusion_layer is None
             else self.fusion_layer
         )
-        use_s2d = self.s2d and k >= 1  # KD feature at layer 0 stays plain
+
+    def __call__(
+        self, occupancy: jnp.ndarray, train: bool = False
+    ) -> DetOutput:
+        a = occupancy.shape[1]
         pre_blocked = occupancy.shape[-1] == 4 * self.config.grid.grid_shape[2]
-        assert not pre_blocked or use_s2d
+        assert not pre_blocked or self._use_s2d
         x = fold_agents(occupancy)
-        chans = tuple(
-            max(8, int(round(c * self.width_mult))) for c in STAGE_CHANNELS
-        )
-        feats = STPNEncoder(
-            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d,
-            stage_channels=chans,
-        )(x, train, pre_blocked=pre_blocked)
-        decoded = STPNDecoder(
-            axis_name=self.axis_name, dtype=self.dtype, s2d=use_s2d
-        )(feats, train)
-        cls = ClassificationHead(
-            self.config.anchors.num_anchors, self.config.num_classes,
-            dtype=self.dtype, s2d=use_s2d,
-        )(decoded)
-        reg = RegressionHead(
-            self.config.anchors.num_anchors, self.config.anchors.box_code_size,
-            dtype=self.dtype, s2d=use_s2d,
-        )(decoded)
+        feats = self.encoder(x, train, pre_blocked=pre_blocked)
+        decoded = self.decoder(feats, train)
+        cls = self.cls_head(decoded)
+        reg = self.reg_head(decoded)
         return DetOutput(
-            unfold_agents(cls, a), unfold_agents(reg, a), unfold_agents(feats[k], a)
+            unfold_agents(cls, a),
+            unfold_agents(reg, a),
+            unfold_agents(feats[self._layer], a),
         )

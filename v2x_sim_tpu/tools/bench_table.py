@@ -39,6 +39,11 @@ ALL_MODES = (
     "v2v",
     "disco",
     "upperbound",
+    # The flagship: disco distilled against the trained upperbound
+    # teacher (reference `--com disco --kd_flag 1`,
+    # † coperception/tools/det/Makefile). Placed after upperbound so the
+    # sweep reuses its trained state as the frozen teacher.
+    "disco+kd",
 )
 
 
@@ -88,6 +93,25 @@ def parse_args():
     p.add_argument("--score_threshold", type=float, default=0.05)
     p.add_argument("--nms_iou", type=float, default=0.1)
     p.add_argument("--max_boxes", type=int, default=16)
+    p.add_argument(
+        "--kd_weight", type=float, default=1e5,
+        help="disco+kd distillation weight (reference ~1e5 with mean-"
+        "reduced MSE; # VERIFY vs reference)",
+    )
+    p.add_argument(
+        "--seeds", default=None,
+        help="comma list of seeds; runs every mode per seed and reports "
+        "mean +/- spread columns (overrides --seed)",
+    )
+    p.add_argument(
+        "--data_pool", type=int, default=0,
+        help="pre-generate this many training batches once and cycle "
+        "them (a finite dataset with epochs, like the reference's; "
+        "shared across modes so every row trains on identical scenes). "
+        "0 = stream fresh scenes per step. At the full grid host-side "
+        "generation is ~0.8 s/batch — 3x the device step — so pooling "
+        "is what keeps the TPU busy",
+    )
     return p.parse_args()
 
 
@@ -127,7 +151,47 @@ def build_spec(args):
     return SyntheticSpec(occlusion_prob=args.occlusion)
 
 
-def run_mode(mode, args, config, spec):
+def _train_seed_offset(seed: int) -> int:
+    """Distinct training streams per seed (eval seeds 900k+ stay fixed so
+    every seed/mode is scored on the SAME held-out scenes)."""
+    return 10_000 + seed * 1_000_000
+
+
+def _train_stream(args, config, spec, seed, shared):
+    """Per-step training batch source: fresh scene per step, or a
+    pre-generated pool cycled epoch-style (--data_pool), shared across
+    modes so every table row trains on identical data."""
+    from v2x_sim_tpu.datasets.synthetic import generate_batch
+
+    off = _train_seed_offset(seed)
+    if not args.data_pool:
+        return lambda s: generate_batch(
+            config, spec, batch_size=args.batch, seed=off + s
+        )
+    pkey = ("pool", seed)
+    pool = shared.get(pkey) if shared is not None else None
+    if pool is None:
+        # Strip keys the training path never reads (to_dev drops them
+        # anyway; seg_labels alone is 12.6 MB/batch at the full grid).
+        strip = {"visible", "gt_vehicle"}
+        if args.task != "seg":
+            strip.add("seg_labels")
+        pool = [
+            {
+                k: v
+                for k, v in generate_batch(
+                    config, spec, batch_size=args.batch, seed=off + i
+                ).items()
+                if k not in strip
+            }
+            for i in range(args.data_pool)
+        ]
+        if shared is not None:
+            shared[pkey] = pool
+    return lambda s: pool[s % len(pool)]
+
+
+def run_mode(mode, args, config, spec, shared=None, seed=None):
     import jax
     import jax.numpy as jnp
 
@@ -135,32 +199,72 @@ def run_mode(mode, args, config, spec):
     from v2x_sim_tpu.train.det_module import DetModule
     from v2x_sim_tpu.utils.mean_ap import eval_map_agents
 
-    drop = ("visible", "gt_vehicle")
+    seed = args.seed if seed is None else seed
+    # seg_labels is dead weight on the det path (12.6 MB/batch at the
+    # full grid — pure transfer waste over the tunnel).
+    drop = ("visible", "gt_vehicle", "seg_labels")
 
     def to_dev(raw):
         return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
 
+    stream = _train_stream(args, config, spec, seed, shared)
+    kd = mode == "disco+kd"
     mod = DetModule(
-        config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult
+        config,
+        mode="disco" if kd else mode,
+        learning_rate=args.lr,
+        width_mult=args.width_mult,
+        kd_weight=args.kd_weight if kd else 0.0,
     )
-    raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
-    state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
+    raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
+    state = mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
+
+    # Flagship KD config: distill against the trained early-fusion
+    # upperbound (reference `--kd_flag 1` teacher provenance). Reuse the
+    # sweep's own upperbound run when it came first (deterministic:
+    # retraining here would produce the identical state); otherwise train
+    # one now (excluded from this row's train_s — the reference's teacher
+    # is likewise pretrained offline).
+    targs = ()
+    if kd:
+        tkey = ("teacher", seed)
+        teacher_vars = shared.get(tkey) if shared is not None else None
+        if teacher_vars is None:
+            t_mod = DetModule(
+                config, mode="upperbound", learning_rate=args.lr,
+                width_mult=args.width_mult,
+            )
+            t_state = t_mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
+            for s in range(args.steps):
+                t_state, _ = t_mod.train_step(
+                    t_state, t_mod.prepare_batch(to_dev(stream(s)))
+                )
+            teacher_vars = {
+                "params": t_state.params, "batch_stats": t_state.batch_stats
+            }
+            if shared is not None:
+                shared[tkey] = teacher_vars
+        targs = (teacher_vars,)
 
     # Warmup step: absorb the jit compile so train_s / steps_per_s measure
     # steady-state throughput, comparable across modes (round-1 table had
     # the first mode 15x "slower" purely from a cold compile cache).
-    state, _ = mod.train_step(state, mod.prepare_batch(to_dev(raw0)))
+    state, _ = mod.train_step(state, mod.prepare_batch(to_dev(raw0)), *targs)
 
     t0 = time.time()
     loss = float("nan")
     for s in range(args.steps):
-        raw = generate_batch(
-            config, spec, batch_size=args.batch, seed=10_000 + s
+        state, metrics = mod.train_step(
+            state, mod.prepare_batch(to_dev(stream(s))), *targs
         )
-        state, metrics = mod.train_step(state, mod.prepare_batch(to_dev(raw)))
         loss = metrics["loss"]
     loss = float(loss)  # one sync at the end, not per step
     train_s = time.time() - t0
+
+    if mode == "upperbound" and shared is not None:
+        shared[("teacher", seed)] = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
 
     det_b, det_s, det_v, gt_b, gt_m, am = [], [], [], [], [], []
     t0 = time.time()
@@ -213,7 +317,7 @@ def run_mode(mode, args, config, spec):
     return row
 
 
-def run_mode_seg(mode, args, config, spec):
+def run_mode_seg(mode, args, config, spec, shared=None, seed=None):
     """Per-mode seg sweep row: streaming train -> confusion-matrix eval.
 
     vehicle IoU (class 1) is the collaboration-sensitive number: occluded
@@ -227,6 +331,7 @@ def run_mode_seg(mode, args, config, spec):
     from v2x_sim_tpu.train.seg_module import SegModule
     from v2x_sim_tpu.utils.seg_metrics import iou_from_confusion
 
+    seed = args.seed if seed is None else seed
     drop = ("visible", "gt_vehicle")
 
     def to_dev(raw):
@@ -236,17 +341,17 @@ def run_mode_seg(mode, args, config, spec):
         config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult,
         depth=args.seg_depth,
     )
-    raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
-    state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
+    raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
+    state = mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
     state, _ = mod.train_step(state, mod.prepare_batch(to_dev(raw0)))
 
+    stream = _train_stream(args, config, spec, seed, shared)
     t0 = time.time()
     loss = float("nan")
     for s in range(args.steps):
-        raw = generate_batch(
-            config, spec, batch_size=args.batch, seed=10_000 + s
+        state, metrics = mod.train_step(
+            state, mod.prepare_batch(to_dev(stream(s)))
         )
-        state, metrics = mod.train_step(state, mod.prepare_batch(to_dev(raw)))
         loss = metrics["loss"]
     loss = float(loss)
     train_s = time.time() - t0
@@ -283,8 +388,10 @@ def write_table(rows, args, path):
         f"--task {args.task} --match {args.match} "
         f"--grid {args.grid} --steps {args.steps} --batch {args.batch} "
         f"--agents {args.agents} --occlusion {args.occlusion} "
-        f"--width_mult {args.width_mult} --seed {args.seed}"
+        f"--width_mult {args.width_mult} "
+        + (f"--seeds {args.seeds}" if args.seeds else f"--seed {args.seed}")
         + (f" --seg_depth {args.seg_depth}" if args.task == "seg" else "")
+        + (f" --data_pool {args.data_pool}" if args.data_pool else "")
         + "`.",
         "",
         "Training data is streamed (fresh scenes per step); eval scenes are",
@@ -309,6 +416,19 @@ def write_table(rows, args, path):
     print(f"wrote {path}")
 
 
+def aggregate_seeds(per_seed):
+    """Fold one mode's per-seed rows into mean ± std cells."""
+    import numpy as _np
+
+    row = {"mode": per_seed[0]["mode"]}
+    for k in per_seed[0]:
+        if k == "mode":
+            continue
+        vals = _np.asarray([r[k] for r in per_seed], dtype=float)
+        row[k] = f"{vals.mean():.4g}±{vals.std():.2g}"
+    return row
+
+
 def main():
     args = parse_args()
     if args.cpu:
@@ -323,10 +443,23 @@ def main():
     modes = ALL_MODES if args.modes == "all" else tuple(
         m.strip() for m in args.modes.split(",")
     )
+    if args.task == "seg":
+        modes = tuple(m for m in modes if m != "disco+kd")
+    seeds = (
+        [int(s) for s in args.seeds.split(",")] if args.seeds else [args.seed]
+    )
     config = build_config(args)
     spec = build_spec(args)
     runner = run_mode_seg if args.task == "seg" else run_mode
-    rows = [runner(m, args, config, spec) for m in modes]
+    shared = {}
+    rows = []
+    for m in modes:
+        per_seed = [
+            runner(m, args, config, spec, shared, seed=s) for s in seeds
+        ]
+        rows.append(
+            aggregate_seeds(per_seed) if len(seeds) > 1 else per_seed[0]
+        )
     write_table(rows, args, args.out)
 
 

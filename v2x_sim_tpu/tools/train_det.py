@@ -97,7 +97,12 @@ def main():
             jax.random.PRNGKey(args.seed + 1), t_occ, train=False
         )
         if args.teacher:
-            teacher_vars = restore_checkpoint(args.teacher, teacher_vars)
+            from v2x_sim_tpu.train.checkpoint import restore_teacher
+
+            # Accepts an upperbound run's epoch_N checkpoint directly
+            # (the reference's TeacherNet provenance) or a bare
+            # variables dict.
+            teacher_vars = restore_teacher(args.teacher, teacher_vars, module.tx)
             logger.log(f"loaded teacher from {args.teacher}")
 
     start_epoch = 0

@@ -53,3 +53,30 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore a checkpoint into the structure of `target`."""
     restored = _checkpointer().restore(os.path.abspath(path), item=target)
     return jax.tree.map(lambda t, r: jax.numpy.asarray(r), target, restored)
+
+
+def restore_teacher(path: str, teacher_vars: Any, tx: Any = None) -> Any:
+    """Load frozen-teacher variables for `--kd_flag 1`.
+
+    Accepts either a saved variables dict ({"params", "batch_stats"}) or
+    a full TrainState checkpoint of an upperbound run (`epoch_N` from
+    `train_det --com upperbound`) — the reference's TeacherNet is the
+    trained early-fusion upperbound model, and TeacherModel's submodule
+    names match DetModel's so the params load verbatim
+    (models/det/net.py::TeacherModel)."""
+    try:
+        return restore_checkpoint(path, teacher_vars)
+    except Exception:
+        import optax
+
+        from v2x_sim_tpu.train.det_module import TrainState
+
+        params = teacher_vars["params"]
+        tmpl = TrainState(
+            params=params,
+            batch_stats=teacher_vars.get("batch_stats", {}),
+            opt_state=(tx or optax.adam(1e-3)).init(params),
+            step=jax.numpy.zeros((), jax.numpy.int32),
+        )
+        state = restore_checkpoint(path, tmpl)
+        return {"params": state.params, "batch_stats": state.batch_stats}
