@@ -99,6 +99,13 @@ def parse_args():
         "reduced MSE; # VERIFY vs reference)",
     )
     p.add_argument(
+        "--cosine", action="store_true",
+        help="warmup+cosine-decay lr schedule over --steps (peak --lr, "
+        "decay to 5%%): squeezes more convergence out of short budgets "
+        "for the learned fusions; off by default so tables stay "
+        "comparable with constant-lr runs",
+    )
+    p.add_argument(
         "--seeds", default=None,
         help="comma list of seeds; runs every mode per seed and reports "
         "mean +/- spread columns (overrides --seed)",
@@ -149,6 +156,22 @@ def build_spec(args):
             lidar_range=40.0 if args.grid == "tiny" else 20.0,
         )
     return SyntheticSpec(occlusion_prob=args.occlusion)
+
+
+def _learning_rate(args):
+    """Constant lr, or (--cosine) a warmup+cosine-decay schedule — optax
+    schedules drop straight into optax.adam's learning_rate slot."""
+    if not args.cosine:
+        return args.lr
+    import optax
+
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=args.lr,
+        warmup_steps=max(1, min(args.steps // 10, 200)),
+        decay_steps=args.steps,
+        end_value=args.lr * 0.05,
+    )
 
 
 def _train_seed_offset(seed: int) -> int:
@@ -212,7 +235,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
     mod = DetModule(
         config,
         mode="disco" if kd else mode,
-        learning_rate=args.lr,
+        learning_rate=_learning_rate(args),
         width_mult=args.width_mult,
         kd_weight=args.kd_weight if kd else 0.0,
     )
@@ -231,7 +254,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         teacher_vars = shared.get(tkey) if shared is not None else None
         if teacher_vars is None:
             t_mod = DetModule(
-                config, mode="upperbound", learning_rate=args.lr,
+                config, mode="upperbound", learning_rate=_learning_rate(args),
                 width_mult=args.width_mult,
             )
             t_state = t_mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
@@ -338,7 +361,7 @@ def run_mode_seg(mode, args, config, spec, shared=None, seed=None):
         return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
 
     mod = SegModule(
-        config, mode=mode, learning_rate=args.lr, width_mult=args.width_mult,
+        config, mode=mode, learning_rate=_learning_rate(args), width_mult=args.width_mult,
         depth=args.seg_depth,
     )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
@@ -392,6 +415,7 @@ def write_table(rows, args, path):
         + (f"--seeds {args.seeds}" if args.seeds else f"--seed {args.seed}")
         + (f" --seg_depth {args.seg_depth}" if args.task == "seg" else "")
         + (f" --data_pool {args.data_pool}" if args.data_pool else "")
+        + (" --cosine" if args.cosine else "")
         + "`.",
         "",
         "Training data is streamed (fresh scenes per step); eval scenes are",
