@@ -418,7 +418,13 @@ def write_table(rows, args, path):
         + (" --cosine" if args.cosine else "")
         + "`.",
         "",
-        "Training data is streamed (fresh scenes per step); eval scenes are",
+        (
+            f"Training data is a fixed pool of {args.data_pool} batches "
+            "cycled epoch-style, identical across modes/rows"
+            if args.data_pool
+            else "Training data is streamed (fresh scenes per step)"
+        )
+        + "; eval scenes are",
         f"held out ({args.eval_batches} batches, seeds 900k+). Occlusion "
         f"prob {args.occlusion}: each vehicle is independently dropped from "
         "each agent's point cloud, so a detector can only recover occluded "
