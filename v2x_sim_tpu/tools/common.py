@@ -101,6 +101,28 @@ def resolve_mode(args) -> str:
     return COM_ALIASES[args.com]
 
 
+def strip_stale_targets(raw: dict, config: Config) -> dict:
+    """Guard for baked anchor targets (create_data_det --targets 1).
+
+    Compares the cache's geometry fingerprint (tgt_meta = [H, W, K, Pc])
+    against the live config; on mismatch every tgt_* key is dropped so
+    training falls back to on-device assignment instead of silently
+    optimizing against another grid's targets. tgt_meta itself is always
+    removed — it is host-side metadata, not a device input."""
+    if "tgt_meta" not in raw:
+        return raw
+    import numpy as np
+
+    from v2x_sim_tpu.ops.assign import _SPARSE_CELLS
+
+    h, w = config.grid.bev_shape
+    k = config.anchors.num_anchors
+    meta = tuple(np.asarray(raw["tgt_meta"]).reshape(-1, 4)[0])
+    if meta == (h, w, k, _SPARSE_CELLS):
+        return {k2: v for k2, v in raw.items() if k2 != "tgt_meta"}
+    return {k2: v for k2, v in raw.items() if not k2.startswith("tgt_")}
+
+
 def make_batches(
     args, config: Config, split_seed: int = 0, num_batches: int = 8,
     shuffle: bool = True,

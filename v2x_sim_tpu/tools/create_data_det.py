@@ -24,6 +24,12 @@ def parse_args():
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--cpu", action="store_true",
+        help="run the baking ops (visibility / targets) on host CPU "
+        "instead of the TPU tunnel — offline preprocessing shouldn't "
+        "contend with a training job for the chip",
+    )
+    p.add_argument(
         "--vis",
         type=int,
         default=0,
@@ -33,6 +39,17 @@ def parse_args():
     p.add_argument(
         "--vis_samples", type=int, default=None,
         help="ray samples per point (default: ops.visibility.DEFAULT_NUM_SAMPLES)"
+    )
+    p.add_argument(
+        "--targets", type=int, default=0,
+        help="also bake sparse anchor-assignment targets into the cache "
+        "(the reference bakes targets offline in create_data, SURVEY.md "
+        "§3.1): training then skips the per-batch windowed rotated-IoU "
+        "assignment and runs at step-only rate. The baked form is the "
+        "layout-independent sparse assignment, so it serves blocked and "
+        "plain head layouts alike; a geometry fingerprint (tgt_meta) "
+        "lets train_det drop stale targets if the grid/anchor config "
+        "changed since baking",
     )
     return p.parse_args()
 
@@ -55,15 +72,54 @@ def _add_vis(frame, config, num_samples):
     return frame
 
 
+def _add_targets(frame, config, anchors):
+    """Bake the sparse anchor assignment (ops.assign, flat='sparse') for
+    every agent of one frame. Stored pre-layout: the s2d blocking /
+    positive-index transforms are cheap integer ops that stay in
+    DetModule.prepare_batch, so one cache serves every head layout."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2x_sim_tpu.ops.assign import assign_targets_batched
+
+    sp = assign_targets_batched(
+        jnp.asarray(frame["gt_boxes"]),  # (A, M, 5): agents as the batch
+        jnp.asarray(frame["gt_mask"]),
+        anchors,
+        config,
+        flat="sparse",
+    )
+    frame = dict(frame)
+    frame["tgt_labels"] = np.asarray(sp.labels, np.int8)
+    frame["tgt_cells"] = np.asarray(sp.cells, np.int32)
+    frame["tgt_wts"] = np.asarray(sp.wts, np.float32)
+    frame["tgt_reg"] = np.asarray(sp.reg, np.float32)
+    h, w, k, _ = anchors.shape
+    frame["tgt_meta"] = np.array([h, w, k, sp.cells.shape[-1]], np.int32)
+    return frame
+
+
 def main():
     args = parse_args()
     import os
+
+    from v2x_sim_tpu.tools.common import force_cpu_if_requested
+
+    force_cpu_if_requested(args)
 
     from v2x_sim_tpu.configs.config import Config, GridConfig
     from v2x_sim_tpu.datasets.cache import save_frame
 
     grid = GridConfig(voxel_size=(1.0, 1.0, 0.625)) if args.grid == "small" else GridConfig()
     config = Config(grid=grid)
+
+    anchors = None
+    if args.targets:
+        import jax.numpy as jnp
+
+        from v2x_sim_tpu.ops.anchors import anchor_grid
+
+        anchors = jnp.asarray(anchor_grid(config))
 
     out = os.path.join(args.savepath, args.split)
     count = 0
@@ -80,6 +136,8 @@ def main():
                 )
                 if args.vis:
                     frame = _add_vis(frame, config, args.vis_samples)
+                if args.targets:
+                    frame = _add_targets(frame, config, anchors)
                 save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame)
                 count += 1
     else:
@@ -98,6 +156,8 @@ def main():
             frame = ds[i]
             if args.vis:
                 frame = _add_vis(frame, config, args.vis_samples)
+            if args.targets:
+                frame = _add_targets(frame, config, anchors)
             save_frame(out, f"frame{i:06d}", frame)
             count += 1
     print(f"wrote {count} frames to {out}")

@@ -75,7 +75,13 @@ def main():
             shuffle=False,
         )
     ):
-        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+        # tgt_* are baked *training* targets (create_data_det --targets):
+        # dead weight on the eval path — don't ship them to the device.
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in raw.items()
+            if k != "visible" and not k.startswith("tgt_")
+        }
         if state is None:
             state = module.init(jax.random.PRNGKey(0), batch)
             path = args.resume if args.resume != "auto" else latest_checkpoint(args.logpath)

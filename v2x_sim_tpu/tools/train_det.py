@@ -39,6 +39,7 @@ def main():
         force_cpu_if_requested,
         make_batches,
         resolve_mode,
+        strip_stale_targets,
     )
 
     force_cpu_if_requested(args)
@@ -84,7 +85,9 @@ def main():
         width_mult=args.width_mult,
     )
 
-    first = next(make_batches(args, config, num_batches=1))
+    first = strip_stale_targets(
+        next(make_batches(args, config, num_batches=1)), config
+    )
     first = {k: jnp.asarray(v) for k, v in first.items() if k != "visible"}
     state = module.init(jax.random.PRNGKey(args.seed), first)
 
@@ -146,6 +149,7 @@ def main():
                 )
             )
         ):
+            raw = strip_stale_targets(raw, config)
             batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
             if mesh is not None:
                 batch = shard_batch(batch, mesh)

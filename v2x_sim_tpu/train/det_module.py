@@ -261,20 +261,32 @@ class DetModule:
         asynchronously ahead of the train step."""
         out = dict(batch)
         out["occupancy"] = self._model_input(batch)
-        sp = self.targets_from_gt(
-            batch["gt_boxes"], batch["gt_mask"], flat="sparse"
-        )
+        if "tgt_labels" in batch:
+            # Baked offline by create_data_det --targets 1 (the
+            # reference's create_data bakes targets too, SURVEY.md §3.1):
+            # the windowed rotated-IoU assignment is skipped and only the
+            # cheap layout transforms below run per batch.
+            labels, cells = batch["tgt_labels"], batch["tgt_cells"]
+            reg, wts = batch["tgt_reg"], batch["tgt_wts"]
+            for k in ("tgt_labels", "tgt_cells", "tgt_reg", "tgt_wts",
+                      "tgt_meta"):
+                out.pop(k, None)
+        else:
+            sp = self.targets_from_gt(
+                batch["gt_boxes"], batch["gt_mask"], flat="sparse"
+            )
+            labels, cells, reg, wts = sp.labels, sp.cells, sp.reg, sp.wts
         # Cross the jit boundary FLAT (a (B, A, H, W, K, …) output forces
         # a ~28x padded relayout in the consumer), with the localization
         # targets SPARSE (losses.smooth_l1_loss_sparse_sum) — the dense
         # (B, A, H, W, K, 6) encode never exists (ops.assign).
         b, a = batch["agent_mask"].shape
-        out["labels"] = self._flat_labels(sp.labels, b, a)
-        cell, lane = self._positive_indices(sp.cells, b, a)
+        out["labels"] = self._flat_labels(labels, b, a)
+        cell, lane = self._positive_indices(cells, b, a)
         out["reg_cell"] = cell
         out["reg_lane"] = lane
-        out["reg_sp_t"] = sp.reg
-        out["reg_sp_w"] = sp.wts
+        out["reg_sp_t"] = reg
+        out["reg_sp_w"] = wts
         if self.kd_weight > 0.0:
             out["teacher_occupancy"] = self.merged_occupancy(
                 batch["points"],
