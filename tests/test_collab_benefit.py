@@ -139,6 +139,48 @@ def _gather(trained, ego_only):
     return np.concatenate(occ), np.concatenate(vis)
 
 
+@pytest.fixture(scope="module")
+def trained_disco():
+    mod = DetModule(CFG, mode="disco", learning_rate=3e-3, width_mult=0.25)
+    raw0 = generate_batch(CFG, SPEC, batch_size=BATCH, seed=0)
+    state = mod.init(jax.random.PRNGKey(0), _to_batch(raw0))
+    for s in range(STEPS):
+        raw = generate_batch(CFG, SPEC, batch_size=BATCH, seed=10_000 + s)
+        state, _ = mod.train_step(state, mod.prepare_batch(_to_batch(raw)))
+    return mod, state
+
+
+def test_learned_fusion_beats_lowerbound(trained_disco):
+    """VERDICT-r2 #6 regression gate: the flagship *learned* fusion
+    (disco's edge-weighted graph) must show the collaboration benefit,
+    not just the parameter-free max fusion above.
+
+    Margins are ~2.5x below the worst of 3 measured seeds (width 0.25,
+    600 steps: occ_fused_mean 0.131-0.301, occ hits>0.3 0.29-0.67,
+    vis hits 0.97, ego-only mean <=0.012 with 0 hits), so a real
+    regression in disco's fusion/warp/training path trips it but seed
+    noise does not."""
+    occ_fused, vis_fused = _gather(trained_disco, ego_only=False)
+    occ_ego, _ = _gather(trained_disco, ego_only=True)
+    assert len(occ_fused) >= 10, "spec should yield occluded cases"
+
+    assert (vis_fused > 0.3).mean() > 0.6, (
+        f"visible recall collapsed: {vis_fused}"
+    )
+    assert occ_fused.mean() > 0.05, (
+        f"disco brings no occluded signal: mean {occ_fused.mean():.3f}"
+    )
+    assert (occ_fused > 0.3).mean() > 0.1, (
+        f"disco detects too few occluded boxes: {occ_fused}"
+    )
+    assert occ_ego.mean() < occ_fused.mean() / 3.0, (
+        f"ego-only {occ_ego.mean():.3f} vs fused {occ_fused.mean():.3f}"
+    )
+    assert (occ_ego > 0.3).mean() < 0.1, (
+        f"lowerbound should not see occluded boxes: {occ_ego}"
+    )
+
+
 def test_fusion_detects_occluded_lowerbound_does_not(trained):
     occ_fused, vis_fused = _gather(trained, ego_only=False)
     occ_ego, _ = _gather(trained, ego_only=True)
