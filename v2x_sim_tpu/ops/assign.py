@@ -54,6 +54,32 @@ from v2x_sim_tpu.ops.iou_sh import (
 _SPARSE_CELLS = 256
 
 
+def target_fingerprint(config: Config) -> int:
+    """CRC32 of everything the baked-target semantics depend on.
+
+    Stored in the cache's tgt_meta (create_data_det --targets 1) and
+    checked by tools.common.strip_stale_targets: the grid shape alone is
+    not enough — an anchor-size/rotation or assignment-threshold change
+    that preserves (H, W, K) would otherwise silently train against
+    stale targets. Hashes the realized anchor grid values (covers sizes,
+    rotations, and cell placement) plus the assignment thresholds and
+    box codec width."""
+    import zlib
+
+    import numpy as np
+
+    from v2x_sim_tpu.ops.anchors import anchor_grid
+
+    a = config.anchors
+    payload = np.ascontiguousarray(
+        anchor_grid(config), dtype=np.float32
+    ).tobytes() + np.asarray(
+        [a.pos_iou_threshold, a.neg_iou_threshold, float(a.box_code_size)],
+        np.float32,
+    ).tobytes()
+    return zlib.crc32(payload) & 0x7FFFFFFF  # int32-safe
+
+
 class SparseTargets(NamedTuple):
     """Sparse positive-anchor training targets (assign_targets_sparse).
 

@@ -104,21 +104,27 @@ def resolve_mode(args) -> str:
 def strip_stale_targets(raw: dict, config: Config) -> dict:
     """Guard for baked anchor targets (create_data_det --targets 1).
 
-    Compares the cache's geometry fingerprint (tgt_meta = [H, W, K, Pc])
-    against the live config; on mismatch every tgt_* key is dropped so
-    training falls back to on-device assignment instead of silently
-    optimizing against another grid's targets. tgt_meta itself is always
-    removed — it is host-side metadata, not a device input."""
+    Compares the cache's fingerprint (tgt_meta = [H, W, K, Pc, crc] where
+    crc hashes the realized anchor table + assignment thresholds,
+    ops.assign.target_fingerprint) against the live config; on mismatch
+    every tgt_* key is dropped so training falls back to on-device
+    assignment instead of silently optimizing against another config's
+    targets. Legacy 4-int metas (pre-crc caches) are treated as stale —
+    they cannot prove their anchor table matches; re-run create_data.
+    tgt_meta itself is always removed — it is host-side metadata, not a
+    device input."""
     if "tgt_meta" not in raw:
         return raw
     import numpy as np
 
-    from v2x_sim_tpu.ops.assign import _SPARSE_CELLS
+    from v2x_sim_tpu.ops.assign import _SPARSE_CELLS, target_fingerprint
 
     h, w = config.grid.bev_shape
     k = config.anchors.num_anchors
-    meta = tuple(np.asarray(raw["tgt_meta"]).reshape(-1, 4)[0])
-    if meta == (h, w, k, _SPARSE_CELLS):
+    arr = np.asarray(raw["tgt_meta"])
+    meta = tuple(int(x) for x in arr.reshape(-1, arr.shape[-1])[0])
+    want = (h, w, k, _SPARSE_CELLS, target_fingerprint(config))
+    if meta == want:
         return {k2: v for k2, v in raw.items() if k2 != "tgt_meta"}
     return {k2: v for k2, v in raw.items() if not k2.startswith("tgt_")}
 

@@ -95,7 +95,11 @@ def _add_targets(frame, config, anchors):
     frame["tgt_wts"] = np.asarray(sp.wts, np.float32)
     frame["tgt_reg"] = np.asarray(sp.reg, np.float32)
     h, w, k, _ = anchors.shape
-    frame["tgt_meta"] = np.array([h, w, k, sp.cells.shape[-1]], np.int32)
+    from v2x_sim_tpu.ops.assign import target_fingerprint
+
+    frame["tgt_meta"] = np.array(
+        [h, w, k, sp.cells.shape[-1], target_fingerprint(config)], np.int32
+    )
     return frame
 
 

@@ -178,6 +178,11 @@ def evaluate_hota(
             locas.append(loc_sum[a] / tp[a])
         else:
             ass_a = 0.0
+            # TrackEval's LocA is loc_sum / max(eps, TP): an alpha with
+            # detections but zero TPs contributes 0, not a skipped entry
+            # (skipping made loc_a read optimistically high on sequences
+            # whose high-alpha TPs vanish).
+            locas.append(0.0)
         detas.append(det_a)
         assas.append(ass_a)
         hotas.append(float(np.sqrt(det_a * ass_a)))

@@ -63,10 +63,16 @@ def restore_teacher(path: str, teacher_vars: Any, tx: Any = None) -> Any:
     `train_det --com upperbound`) — the reference's TeacherNet is the
     trained early-fusion upperbound model, and TeacherModel's submodule
     names match DetModel's so the params load verbatim
-    (models/det/net.py::TeacherModel)."""
+    (models/det/net.py::TeacherModel).
+
+    For the TrainState form, `tx` MUST be the optimizer the checkpoint
+    was trained with (its opt_state tree must match); the adam(1e-3)
+    default only restores constant-lr adam checkpoints."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"teacher checkpoint not found: {path}")
     try:
         return restore_checkpoint(path, teacher_vars)
-    except Exception:
+    except Exception as vars_err:
         import optax
 
         from v2x_sim_tpu.train.det_module import TrainState
@@ -78,5 +84,14 @@ def restore_teacher(path: str, teacher_vars: Any, tx: Any = None) -> Any:
             opt_state=(tx or optax.adam(1e-3)).init(params),
             step=jax.numpy.zeros((), jax.numpy.int32),
         )
-        state = restore_checkpoint(path, tmpl)
+        try:
+            state = restore_checkpoint(path, tmpl)
+        except Exception as state_err:
+            # Surface BOTH attempts: a corrupt/mismatched checkpoint used
+            # to resurface only as a confusing TrainState structure error.
+            raise ValueError(
+                f"could not restore teacher from {path} as a variables "
+                f"dict ({vars_err}) or as a TrainState ({state_err}); for "
+                "TrainState checkpoints pass the training-time `tx`"
+            ) from state_err
         return {"params": state.params, "batch_stats": state.batch_stats}
