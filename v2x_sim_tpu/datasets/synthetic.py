@@ -76,8 +76,6 @@ def generate_scene(
     """Generate one multi-agent scene (unbatched)."""
     rng = np.random.default_rng(seed)
     a = config.num_agents
-    p = spec.points_per_agent
-    m = spec.max_gt
     (x0, x1), (y0, y1) = config.grid.area_extents[0], config.grid.area_extents[1]
     world_lim = min(x1 - 4, y1 - 4)
 
@@ -106,6 +104,27 @@ def generate_scene(
                 rng.uniform(-world_lim, world_lim),
                 rng.uniform(-np.pi, np.pi),
             )
+    return _render_scene(config, spec, rng, vehicles, poses)
+
+
+def _render_scene(
+    config: Config,
+    spec: SyntheticSpec,
+    rng,
+    vehicles: np.ndarray,
+    poses: np.ndarray,
+    occl: "np.ndarray | None" = None,
+) -> Dict[str, np.ndarray]:
+    """Render one frame given world state: vehicles (nv, 5 = x,y,l,w,yaw),
+    agent poses (A, 3 = x,y,yaw). `occl=None` draws per-agent occlusion
+    from `rng` inline (generate_scene's historical draw order — existing
+    seeds keep producing byte-identical scenes); a (A, nv) bool matrix
+    makes occlusion persistent across frames (generate_sequence)."""
+    a = config.num_agents
+    p = spec.points_per_agent
+    m = spec.max_gt
+    nv = len(vehicles)
+    (x0, x1), (y0, y1) = config.grid.area_extents[0], config.grid.area_extents[1]
     agent_mask = np.ones(a, bool)
 
     a2w = np.stack([_pose_to_mat(*poses[i]) for i in range(a)])  # (A,4,4)
@@ -118,9 +137,12 @@ def generate_scene(
     visible = np.zeros((a, nv), bool)
     for i in range(a):
         dist = np.linalg.norm(vehicles[:, :2] - poses[i, :2], axis=-1)
-        vis = (dist < spec.lidar_range) & (
-            rng.uniform(size=nv) > spec.occlusion_prob
+        dropped = (
+            rng.uniform(size=nv) <= spec.occlusion_prob
+            if occl is None
+            else occl[i]
         )
+        vis = (dist < spec.lidar_range) & ~dropped
         visible[i] = vis
         chunks = [
             _box_perimeter_points(vehicles[v], spec.points_per_vehicle, rng)
@@ -202,3 +224,75 @@ def generate_batch(
         generate_scene(config, spec, seed * 10_007 + b) for b in range(batch_size)
     ]
     return {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}
+
+
+def generate_sequence(
+    config: Config,
+    spec: SyntheticSpec,
+    seed: int,
+    num_frames: int,
+    dt: float = 0.5,
+    speed_range: tuple = (1.0, 8.0),
+    yaw_rate_max: float = 0.25,
+) -> list:
+    """Temporal multi-agent sequence for the tracking task (the
+    reference's third benchmark, † coperception/tools/track/ via
+    /root/reference/README.md:36,101): vehicles move under a constant
+    speed + bounded yaw-rate model with PERSISTENT identities, agents
+    ride their host vehicles, and occlusion is drawn once per
+    (agent, vehicle) for the whole sequence — an occluded vehicle stays
+    invisible to that agent, so only collaboration can keep its track
+    alive (the premise the tracking table measures).
+
+    Returns a list of `num_frames` scene dicts (generate_scene contract)
+    plus a `gt_ids` (A, M) int64 key: the persistent world-vehicle id of
+    each GT slot, -1 where padded. Vehicles bounce off the world bounds
+    by heading reversal; ids survive the bounce.
+    """
+    rng = np.random.default_rng(seed)
+    a = config.num_agents
+    (x0, x1), _ = config.grid.area_extents[0], config.grid.area_extents[1]
+    world_lim = min(x1 - 4, config.grid.area_extents[1][1] - 4)
+
+    nv = spec.num_vehicles
+    vehicles = np.stack(
+        [
+            rng.uniform(-world_lim, world_lim, nv),
+            rng.uniform(-world_lim, world_lim, nv),
+            rng.uniform(3.8, 5.0, nv),
+            rng.uniform(1.6, 2.1, nv),
+            rng.uniform(-np.pi, np.pi, nv),
+        ],
+        axis=-1,
+    )
+    speeds = rng.uniform(*speed_range, nv)
+    yaw_rates = rng.uniform(-yaw_rate_max, yaw_rate_max, nv)
+    occl = rng.uniform(size=(a, nv)) <= spec.occlusion_prob
+
+    frames = []
+    for _t in range(num_frames):
+        poses = np.zeros((a, 3))
+        poses[0] = (0.0, 0.0, 0.0)  # RSU
+        for i in range(1, a):
+            if i - 1 < nv:
+                poses[i] = vehicles[i - 1, [0, 1, 4]]
+            else:
+                poses[i] = (0.0, 0.0, 0.0)
+        frame = _render_scene(config, spec, rng, vehicles, poses, occl=occl)
+        # Persistent identities: gt_vehicle already holds the world
+        # vehicle index per GT slot (stable across frames because the
+        # inside-extents selection is index-ordered).
+        frame["gt_ids"] = frame["gt_vehicle"].astype(np.int64)
+        frames.append(frame)
+
+        # Advance world state.
+        vehicles[:, 0] += speeds * np.cos(vehicles[:, 4]) * dt
+        vehicles[:, 1] += speeds * np.sin(vehicles[:, 4]) * dt
+        vehicles[:, 4] += yaw_rates * dt
+        out = (np.abs(vehicles[:, 0]) > world_lim) | (
+            np.abs(vehicles[:, 1]) > world_lim
+        )
+        vehicles[out, 4] += np.pi  # bounce: reverse heading
+        vehicles[:, 0] = np.clip(vehicles[:, 0], -world_lim, world_lim)
+        vehicles[:, 1] = np.clip(vehicles[:, 1], -world_lim, world_lim)
+    return frames

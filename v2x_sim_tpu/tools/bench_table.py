@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -119,6 +120,32 @@ def parse_args():
         "generation is ~0.8 s/batch — 3x the device step — so pooling "
         "is what keeps the TPU busy",
     )
+    p.add_argument(
+        "--bake_pool", type=int, default=1,
+        help="with --data_pool on the det task: run the anchor "
+        "assignment ONCE per pool batch (the reference's offline "
+        "create_data regime) and keep the pool device-resident, so the "
+        "per-step cost is voxelize+step only — no per-step assignment, "
+        "no per-step host->device transfer. 0 = raw host pool "
+        "(round-3 behavior)",
+    )
+    p.add_argument(
+        "--eval_at", default=None,
+        help="comma list of intermediate step counts at which to run "
+        "the held-out eval (mAP-vs-steps convergence curves). Eval time "
+        "is excluded from train_s. Curves land in --curves_out",
+    )
+    p.add_argument(
+        "--curves_out", default=None,
+        help="JSONL path for per-mode/seed convergence curves "
+        "(default: <--out stem>_curves.jsonl when --eval_at is set)",
+    )
+    p.add_argument(
+        "--save_states", default="",
+        help="dir to pickle each mode's trained (params, batch_stats) "
+        "as <mode>_seed<seed>.pkl — downstream consumers (the tracking "
+        "table sweep) re-evaluate these weights without retraining",
+    )
     return p.parse_args()
 
 
@@ -180,10 +207,143 @@ def _train_seed_offset(seed: int) -> int:
     return 10_000 + seed * 1_000_000
 
 
+def _bake_pool_targets(pool, config):
+    """Bake the sparse anchor assignment into every pool batch ONCE (the
+    reference's offline create_data regime — SURVEY.md §3.1), storing the
+    dense cls labels in compressed form: flat indices of the positive (1)
+    and ignore (-1) anchors only. The dense (B, A, H*W*K) int8 label map
+    is 19 MB/batch at the full grid — far too big to keep per pool entry
+    on device — but it is ~zeros outside those two sparse sets, so a
+    2-scatter reconstruction per step rebuilds it in HBM for free.
+
+    Mutates each pool entry: adds tgt_cells/tgt_wts/tgt_reg (the sparse
+    localization targets `DetModule.prepare_batch` consumes) plus
+    pos_idx/ign_idx (padded with n = out-of-bounds, dropped on scatter).
+    Returns n (flat anchor count) for the reconstruction closure.
+    """
+    import jax.numpy as jnp
+
+    from v2x_sim_tpu.ops.anchors import anchor_grid
+    from v2x_sim_tpu.ops.assign import assign_targets_batched
+
+    anchors = jnp.asarray(anchor_grid(config))
+    h, w, k, _ = anchors.shape
+    n = h * w * k
+    t0 = time.time()
+    caps = None
+    first_labels = None
+    for i, raw in enumerate(pool):
+        if i % 50 == 0:
+            print(f"baking pool targets {i}/{len(pool)} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        b, a, m, _ = raw["gt_boxes"].shape
+        sp = assign_targets_batched(
+            jnp.asarray(raw["gt_boxes"].reshape(b * a, m, 5)),
+            jnp.asarray(raw["gt_mask"].reshape(b * a, m)),
+            anchors,
+            config,
+            flat="sparse",
+        )
+        raw["tgt_cells"] = jnp.reshape(sp.cells, (b, a) + sp.cells.shape[1:])
+        raw["tgt_wts"] = jnp.reshape(sp.wts, (b, a) + sp.wts.shape[1:])
+        raw["tgt_reg"] = jnp.reshape(sp.reg, (b, a) + sp.reg.shape[1:])
+        if caps is None:
+            # Size the index capacity off the first batch (2x margin,
+            # 128-lane rounded); per-batch overflow is asserted below.
+            # Everything stays ON DEVICE: a dense-label pull is 19 MB per
+            # batch over the (45 MB/s, ~3 min first-transfer) tunnel.
+            counts = _label_counts_jit()(sp.labels)
+            caps = tuple(
+                max(128, int(-(-2 * int(c) // 128) * 128)) for c in counts
+            )
+            first_labels = sp.labels  # parity-checked below (one pull)
+        pos, ign, npos, nign = _sparse_label_idx_jit(*caps, n)(sp.labels)
+        assert int(npos) <= caps[0] and int(nign) <= caps[1], (
+            f"pool batch {i}: label index capacity exceeded "
+            f"(pos {int(npos)}/{caps[0]}, ign {int(nign)}/{caps[1]})"
+        )
+        raw["pos_idx"] = pos.reshape(b, a, -1)
+        raw["ign_idx"] = ign.reshape(b, a, -1)
+    b, a = pool[0]["agent_mask"].shape
+    recon = np.asarray(
+        _recon_labels_jit(n)(pool[0]["pos_idx"], pool[0]["ign_idx"])
+    ).reshape(b * a, n)
+    assert np.array_equal(recon, np.asarray(first_labels)), (
+        "sparse label reconstruction does not match the dense assignment"
+    )
+    print(f"pool targets baked ({time.time() - t0:.0f}s)", flush=True)
+    return n
+
+
+@functools.lru_cache(maxsize=None)
+def _label_counts_jit():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda labels: (
+            (labels == 1).sum(-1).max(),
+            (labels == -1).sum(-1).max(),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sparse_label_idx_jit(cap_pos, cap_ign, n):
+    """Jitted (BA, n) int8 labels -> padded flat indices of the positive
+    and ignore anchors (pad = n, out of bounds for the reconstruction
+    scatter) plus max per-row counts for overflow asserts."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(labels):
+        pos = jax.vmap(
+            lambda r: jnp.flatnonzero(r == 1, size=cap_pos, fill_value=n)
+        )(labels)
+        ign = jax.vmap(
+            lambda r: jnp.flatnonzero(r == -1, size=cap_ign, fill_value=n)
+        )(labels)
+        return (
+            pos.astype(jnp.int32),
+            ign.astype(jnp.int32),
+            (labels == 1).sum(-1).max(),
+            (labels == -1).sum(-1).max(),
+        )
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _recon_labels_jit(n):
+    """Jitted (B, A, Lp)/(B, A, Li) padded flat indices -> dense (B, A, n)
+    int8 labels {1, 0, -1}. Two HBM scatters; pad index n is dropped.
+    Built lazily so importing this module never imports jax (main() must
+    set the platform first)."""
+    import jax
+    import jax.numpy as jnp
+
+    def recon(pos_idx, ign_idx):
+        b, a = pos_idx.shape[:2]
+        bi = jnp.arange(b)[:, None, None]
+        ai = jnp.arange(a)[None, :, None]
+        lab = jnp.zeros((b, a, n), jnp.int8)
+        lab = lab.at[bi, ai, ign_idx].set(jnp.int8(-1), mode="drop")
+        return lab.at[bi, ai, pos_idx].set(jnp.int8(1), mode="drop")
+
+    return jax.jit(recon)
+
+
 def _train_stream(args, config, spec, seed, shared):
     """Per-step training batch source: fresh scene per step, or a
     pre-generated pool cycled epoch-style (--data_pool), shared across
-    modes so every table row trains on identical data."""
+    modes so every table row trains on identical data.
+
+    Pool batches live ON DEVICE (the full-grid pool is ~4 MB/batch once
+    labels are stored sparse), so the steady-state step pays zero
+    host->device transfer — the single host CPU core stays free to run
+    evals/other work while the chip trains."""
+    import jax.numpy as jnp
+
     from v2x_sim_tpu.datasets.synthetic import generate_batch
 
     off = _train_seed_offset(seed)
@@ -199,6 +359,7 @@ def _train_stream(args, config, spec, seed, shared):
         strip = {"visible", "gt_vehicle"}
         if args.task != "seg":
             strip.add("seg_labels")
+        t0 = time.time()
         pool = [
             {
                 k: v
@@ -209,8 +370,27 @@ def _train_stream(args, config, spec, seed, shared):
             }
             for i in range(args.data_pool)
         ]
+        print(f"pool generated ({time.time() - t0:.0f}s)", flush=True)
+        if args.task == "det" and args.bake_pool:
+            _bake_pool_targets(pool, config)
+        pool = [
+            {k: jnp.asarray(v) for k, v in raw.items()} for raw in pool
+        ]
         if shared is not None:
             shared[pkey] = pool
+    if args.task == "det" and args.bake_pool:
+        h, w = config.grid.bev_shape
+        recon = _recon_labels_jit(h * w * config.anchors.num_anchors)
+
+        def fetch(s):
+            e = pool[s % len(pool)]
+            batch = {
+                k: v for k, v in e.items() if k not in ("pos_idx", "ign_idx")
+            }
+            batch["tgt_labels"] = recon(e["pos_idx"], e["ign_idx"])
+            return batch
+
+        return fetch
     return lambda s: pool[s % len(pool)]
 
 
@@ -244,20 +424,26 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
 
     # Flagship KD config: distill against the trained early-fusion
     # upperbound (reference `--kd_flag 1` teacher provenance). Reuse the
-    # sweep's own upperbound run when it came first (deterministic:
-    # retraining here would produce the identical state); otherwise train
-    # one now (excluded from this row's train_s — the reference's teacher
-    # is likewise pretrained offline).
+    # sweep's own upperbound run when it came first (deterministic: the
+    # inline loop below replays the identical init + warmup + steps);
+    # otherwise train one now, timed separately as teacher_s — the
+    # reference's teacher is likewise pretrained offline.
     targs = ()
+    teacher_s = 0.0
     if kd:
         tkey = ("teacher", seed)
         teacher_vars = shared.get(tkey) if shared is not None else None
         if teacher_vars is None:
+            tt0 = time.time()
             t_mod = DetModule(
                 config, mode="upperbound", learning_rate=_learning_rate(args),
                 width_mult=args.width_mult,
             )
             t_state = t_mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
+            # Same raw0 warmup step the upperbound table row takes before
+            # its timed loop, so the teacher state is identical whether it
+            # was trained here or reused from a preceding upperbound row.
+            t_state, _ = t_mod.train_step(t_state, t_mod.prepare_batch(to_dev(raw0)))
             for s in range(args.steps):
                 t_state, _ = t_mod.train_step(
                     t_state, t_mod.prepare_batch(to_dev(stream(s)))
@@ -267,48 +453,9 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
             }
             if shared is not None:
                 shared[tkey] = teacher_vars
+            jax.block_until_ready(teacher_vars["params"])
+            teacher_s = time.time() - tt0
         targs = (teacher_vars,)
-
-    # Warmup step: absorb the jit compile so train_s / steps_per_s measure
-    # steady-state throughput, comparable across modes (round-1 table had
-    # the first mode 15x "slower" purely from a cold compile cache).
-    state, _ = mod.train_step(state, mod.prepare_batch(to_dev(raw0)), *targs)
-
-    t0 = time.time()
-    loss = float("nan")
-    for s in range(args.steps):
-        state, metrics = mod.train_step(
-            state, mod.prepare_batch(to_dev(stream(s))), *targs
-        )
-        loss = metrics["loss"]
-    loss = float(loss)  # one sync at the end, not per step
-    train_s = time.time() - t0
-
-    if mode == "upperbound" and shared is not None:
-        shared[("teacher", seed)] = {
-            "params": state.params, "batch_stats": state.batch_stats
-        }
-
-    det_b, det_s, det_v, gt_b, gt_m, am = [], [], [], [], [], []
-    t0 = time.time()
-    for e in range(args.eval_batches):
-        raw = generate_batch(
-            config, spec, batch_size=args.batch, seed=900_000 + e
-        )
-        # predict consumes the raw batch directly (it voxelizes itself);
-        # prepare_batch would add a full anchor-assignment pass that eval
-        # never reads, inflating eval_s for every mode.
-        res = mod.predict(
-            state, to_dev(raw), args.max_boxes, args.nms_iou,
-            args.score_threshold,
-        )
-        det_b.append(np.asarray(res.boxes))
-        det_s.append(np.asarray(res.scores))
-        det_v.append(np.asarray(res.valid))
-        gt_b.append(raw["gt_boxes"])
-        gt_m.append(raw["gt_mask"])
-        am.append(raw["agent_mask"])
-    eval_s = time.time() - t0
 
     thresholds = tuple(
         float(t) for t in (
@@ -316,27 +463,112 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
             else ("1.0", "2.0") if args.match == "center" else ("0.5", "0.7")
         )
     )
-    maps = eval_map_agents(
-        np.concatenate(det_b),
-        np.concatenate(det_s),
-        np.concatenate(det_v),
-        np.concatenate(gt_b),
-        np.concatenate(gt_m),
-        np.concatenate(am),
-        iou_thresholds=thresholds,
-        match=args.match,
+
+    def evaluate(state):
+        """Held-out eval -> ({mAP@t: v}, eval_s). predict consumes the raw
+        batch directly (it voxelizes itself); prepare_batch would add a
+        full anchor-assignment pass that eval never reads."""
+        det_b, det_s, det_v, gt_b, gt_m, am = [], [], [], [], [], []
+        t0 = time.time()
+        for e in range(args.eval_batches):
+            raw = generate_batch(
+                config, spec, batch_size=args.batch, seed=900_000 + e
+            )
+            res = mod.predict(
+                state, to_dev(raw), args.max_boxes, args.nms_iou,
+                args.score_threshold,
+            )
+            det_b.append(np.asarray(res.boxes))
+            det_s.append(np.asarray(res.scores))
+            det_v.append(np.asarray(res.valid))
+            gt_b.append(raw["gt_boxes"])
+            gt_m.append(raw["gt_mask"])
+            am.append(raw["agent_mask"])
+        eval_s = time.time() - t0
+        maps = eval_map_agents(
+            np.concatenate(det_b),
+            np.concatenate(det_s),
+            np.concatenate(det_v),
+            np.concatenate(gt_b),
+            np.concatenate(gt_m),
+            np.concatenate(am),
+            iou_thresholds=thresholds,
+            match=args.match,
+        )
+        unit = "m" if args.match == "center" else ""
+        return (
+            {f"mAP@{t}{unit}": round(maps[f"mAP@{t}{unit}"], 4)
+             for t in thresholds},
+            eval_s,
+        )
+
+    # Warmup step: absorb the jit compile (reported as compile_s) so
+    # train_s / steps_per_s measure steady-state throughput, comparable
+    # across modes (round-1 table had the first mode 15x "slower" purely
+    # from a cold compile cache).
+    t0 = time.time()
+    state, m0 = mod.train_step(state, mod.prepare_batch(to_dev(raw0)), *targs)
+    jax.block_until_ready(m0["loss"])
+    compile_s = time.time() - t0
+
+    # Train in segments split at the --eval_at milestones; eval wall time
+    # stays out of train_s, so steps_per_s is the steady training rate.
+    milestones = sorted(
+        {int(x) for x in args.eval_at.split(",")} if args.eval_at else set()
     )
-    unit = "m" if args.match == "center" else ""
+    segments = [m for m in milestones if m < args.steps] + [args.steps]
+    curve = []
+    train_s = 0.0
+    loss = float("nan")
+    done = 0
+    for seg_end in segments:
+        t0 = time.time()
+        for s in range(done, seg_end):
+            state, metrics = mod.train_step(
+                state, mod.prepare_batch(to_dev(stream(s))), *targs
+            )
+            loss = metrics["loss"]
+        jax.block_until_ready(loss)
+        train_s += time.time() - t0
+        done = seg_end
+        maps_now, eval_s = evaluate(state)
+        curve.append(dict(step=seg_end, loss=round(float(loss), 3), **maps_now))
+    loss = float(loss)
+
+    if mode == "upperbound" and shared is not None:
+        shared[("teacher", seed)] = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
+
+    if args.save_states:
+        import pickle
+
+        os.makedirs(args.save_states, exist_ok=True)
+        blob = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        with open(
+            os.path.join(args.save_states, f"{mode}_seed{seed}.pkl"), "wb"
+        ) as f:
+            pickle.dump(blob, f)
+
     row = {"mode": mode}
-    for t in thresholds:
-        row[f"mAP@{t}{unit}"] = round(maps[f"mAP@{t}{unit}"], 4)
+    row.update(curve[-1])
+    del row["step"], row["loss"]
     row.update({
         "final_loss": round(loss, 3),
         "train_s": round(train_s, 1),
         "steps_per_s": round(args.steps / max(train_s, 1e-9), 2),
+        "compile_s": round(compile_s, 1),
+        "teacher_s": round(teacher_s, 1),
         "eval_s": round(eval_s, 1),
     })
     print(json.dumps(row), flush=True)
+    if args.curves_path:
+        with open(args.curves_path, "a") as f:
+            f.write(json.dumps(
+                {"mode": mode, "seed": seed, "curve": curve}
+            ) + "\n")
     return row
 
 
@@ -416,7 +648,15 @@ def write_table(rows, args, path):
         + (f" --seg_depth {args.seg_depth}" if args.task == "seg" else "")
         + (f" --data_pool {args.data_pool}" if args.data_pool else "")
         + (" --cosine" if args.cosine else "")
+        + (f" --eval_at {args.eval_at}" if args.eval_at else "")
         + "`.",
+        "",
+        "**Absolute numbers are NOT comparable to the reference's "
+        "published tables**: these rows train from scratch for a short "
+        "synthetic-data budget (the reference trains ~100 epochs on the "
+        "real V2X-Sim dataset), so absolute mAP/mIoU levels are far below "
+        "the published ~0.45-0.70 range. The *ordering and gaps between "
+        "rows* — trained and evaluated identically — are the signal.",
         "",
         (
             f"Training data is a fixed pool of {args.data_pool} batches "
@@ -470,6 +710,12 @@ def main():
 
     enable_compilation_cache()
 
+    args.curves_path = None
+    if args.eval_at:
+        args.curves_path = args.curves_out or (
+            os.path.splitext(args.out)[0] + "_curves.jsonl"
+        )
+        open(args.curves_path, "w").close()  # fresh file per sweep
     modes = ALL_MODES if args.modes == "all" else tuple(
         m.strip() for m in args.modes.split(",")
     )
