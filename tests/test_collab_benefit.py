@@ -115,17 +115,41 @@ def _occluded_and_visible_scores(mod, state, raw, ego_only):
 pytestmark = pytest.mark.slow  # in-test training: ~4 min on 1 CPU core
 
 
+def _train_fixture(mode):
+    """Train the CI-scale model for `mode`, disk-cached across runs: the
+    loop is bit-deterministic (fixed seeds, one CPU device), so the
+    result is cached keyed on the package source hash (_fixture_cache)
+    and retrains automatically on any v2x_sim_tpu/ change."""
+    from tests._fixture_cache import cached_train
+    from v2x_sim_tpu.train.det_module import TrainState
+
+    mod = DetModule(CFG, mode=mode, learning_rate=3e-3, width_mult=0.25)
+
+    def _train():
+        raw0 = generate_batch(CFG, SPEC, batch_size=BATCH, seed=0)
+        state = mod.init(jax.random.PRNGKey(0), _to_batch(raw0))
+        for s in range(STEPS):
+            raw = generate_batch(CFG, SPEC, batch_size=BATCH, seed=10_000 + s)
+            state, _ = mod.train_step(
+                state, mod.prepare_batch(_to_batch(raw))
+            )
+        return jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+
+    blob = cached_train(f"collab_{mode}", _train)
+    state = TrainState(
+        params=blob["params"],
+        batch_stats=blob["batch_stats"],
+        opt_state=None,  # predict-only consumers below
+        step=jnp.zeros((), jnp.int32),
+    )
+    return mod, state
+
+
 @pytest.fixture(scope="module")
 def trained():
-    mod = DetModule(
-        CFG, mode="max", learning_rate=3e-3, width_mult=0.25
-    )
-    raw0 = generate_batch(CFG, SPEC, batch_size=BATCH, seed=0)
-    state = mod.init(jax.random.PRNGKey(0), _to_batch(raw0))
-    for s in range(STEPS):
-        raw = generate_batch(CFG, SPEC, batch_size=BATCH, seed=10_000 + s)
-        state, _ = mod.train_step(state, mod.prepare_batch(_to_batch(raw)))
-    return mod, state
+    return _train_fixture("max")
 
 
 def _gather(trained, ego_only):
@@ -141,13 +165,7 @@ def _gather(trained, ego_only):
 
 @pytest.fixture(scope="module")
 def trained_disco():
-    mod = DetModule(CFG, mode="disco", learning_rate=3e-3, width_mult=0.25)
-    raw0 = generate_batch(CFG, SPEC, batch_size=BATCH, seed=0)
-    state = mod.init(jax.random.PRNGKey(0), _to_batch(raw0))
-    for s in range(STEPS):
-        raw = generate_batch(CFG, SPEC, batch_size=BATCH, seed=10_000 + s)
-        state, _ = mod.train_step(state, mod.prepare_batch(_to_batch(raw)))
-    return mod, state
+    return _train_fixture("disco")
 
 
 def test_learned_fusion_beats_lowerbound(trained_disco):

@@ -232,6 +232,7 @@ def _bake_pool_targets(pool, config):
     t0 = time.time()
     caps = None
     first_labels = None
+    maxes = []
     for i, raw in enumerate(pool):
         if i % 50 == 0:
             print(f"baking pool targets {i}/{len(pool)} "
@@ -258,12 +259,18 @@ def _bake_pool_targets(pool, config):
             )
             first_labels = sp.labels  # parity-checked below (one pull)
         pos, ign, npos, nign = _sparse_label_idx_jit(*caps, n)(sp.labels)
-        assert int(npos) <= caps[0] and int(nign) <= caps[1], (
-            f"pool batch {i}: label index capacity exceeded "
-            f"(pos {int(npos)}/{caps[0]}, ign {int(nign)}/{caps[1]})"
-        )
+        # Keep the overflow counters ON DEVICE during the loop (a per-batch
+        # int() pull costs a ~2 s tunnel round trip x pool size); assert
+        # once below, before any training consumes the indices.
+        maxes.append((npos, nign))
         raw["pos_idx"] = pos.reshape(b, a, -1)
         raw["ign_idx"] = ign.reshape(b, a, -1)
+    counts = np.asarray(jnp.stack([jnp.stack(m) for m in maxes]))  # one pull
+    npos, nign = int(counts[:, 0].max()), int(counts[:, 1].max())
+    assert npos <= caps[0] and nign <= caps[1], (
+        f"pool label index capacity exceeded "
+        f"(pos {npos}/{caps[0]}, ign {nign}/{caps[1]})"
+    )
     b, a = pool[0]["agent_mask"].shape
     recon = np.asarray(
         _recon_labels_jit(n)(pool[0]["pos_idx"], pool[0]["ign_idx"])
@@ -533,6 +540,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         done = seg_end
         maps_now, eval_s = evaluate(state)
         curve.append(dict(step=seg_end, loss=round(float(loss), 3), **maps_now))
+        print(f"  {mode} @ {seg_end}: {curve[-1]}", flush=True)
     loss = float(loss)
 
     if mode == "upperbound" and shared is not None:

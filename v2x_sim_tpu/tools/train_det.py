@@ -29,6 +29,13 @@ def parse_args():
     p.add_argument("--MGDA", dest="mgda", action="store_true")
     p.add_argument("--batches_per_epoch", type=int, default=8)
     p.add_argument("--dp", type=int, default=0, help="data-parallel devices (0=single)")
+    p.add_argument(
+        "--log_every", type=int, default=20,
+        help="materialize metrics on host every N steps (and on the last "
+        "step of each epoch). Each materialization is a device sync — "
+        "per-step logging throttles training to the host round-trip "
+        "latency; 1 restores the reference's per-batch logging",
+    )
     return p.parse_args()
 
 
@@ -159,10 +166,19 @@ def main():
             else:
                 state, metrics = train_step(state, prepared)
             rate = timer.tick()
-            vals = {k: float(v) for k, v in metrics.items()}
-            if rate:
-                vals["scenes_per_sec"] = rate
-            logger.metrics(int(state.step), vals)
+            # Materialize metrics only every --log_every steps: float()
+            # is a device sync, and per-step syncing caps throughput at
+            # the host round-trip latency (the steps in between stay
+            # queued on device, driven by the donated-state chain).
+            if bi % max(1, args.log_every) == 0:
+                vals = {k: float(v) for k, v in metrics.items()}
+                if rate:
+                    vals["scenes_per_sec"] = rate
+                logger.metrics(int(state.step), vals)
+        # End-of-epoch sync: the source may yield fewer batches than
+        # --batches_per_epoch, so materialize from the last metrics here.
+        vals = {k: float(v) for k, v in metrics.items()}
+        logger.metrics(int(state.step), vals)
         logger.log(
             f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in vals.items())
         )

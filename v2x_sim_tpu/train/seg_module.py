@@ -34,6 +34,7 @@ class SegModule:
         compute_dtype: jnp.dtype = jnp.float32,
         width_mult: float = 1.0,
         depth: int = 4,
+        spatial_mesh=None,
     ):
         self.config = config
         self.mode = mode
@@ -41,7 +42,7 @@ class SegModule:
         model_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         self.model = SegModel(
             config=config, mode=mode, axis_name=axis_name, dtype=model_dtype,
-            width_mult=width_mult, depth=depth,
+            width_mult=width_mult, depth=depth, spatial_mesh=spatial_mesh,
         )
         self.compute_dtype = compute_dtype
         self.tx = optax.adam(learning_rate)
