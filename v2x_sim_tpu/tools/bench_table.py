@@ -100,6 +100,18 @@ def parse_args():
         "reduced MSE; # VERIFY vs reference)",
     )
     p.add_argument(
+        "--kd_reduce", default="mean", choices=["mean", "pos"],
+        help="KD MSE normalization: per-element mean (reference "
+        "F.mse_loss default) or global-positive-count (det-term-style)",
+    )
+    p.add_argument(
+        "--teacher_state", default="",
+        help="path to an upperbound <mode>_seed<seed>.pkl (from a prior "
+        "--save_states run) to use as the frozen KD teacher instead of "
+        "training one inline — makes kd_weight/kd_reduce ablations pay "
+        "only the student's cost",
+    )
+    p.add_argument(
         "--cosine", action="store_true",
         help="warmup+cosine-decay lr schedule over --steps (peak --lr, "
         "decay to 5%%): squeezes more convergence out of short budgets "
@@ -425,6 +437,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         learning_rate=_learning_rate(args),
         width_mult=args.width_mult,
         kd_weight=args.kd_weight if kd else 0.0,
+        kd_reduce=args.kd_reduce,
     )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
     state = mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
@@ -440,6 +453,18 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
     if kd:
         tkey = ("teacher", seed)
         teacher_vars = shared.get(tkey) if shared is not None else None
+        if teacher_vars is None and args.teacher_state:
+            import pickle
+
+            import jax.numpy as _jnp
+
+            with open(args.teacher_state, "rb") as f:
+                blob = pickle.load(f)
+            teacher_vars = jax.tree.map(_jnp.asarray, {
+                "params": blob["params"], "batch_stats": blob["batch_stats"]
+            })
+            if shared is not None:
+                shared[tkey] = teacher_vars
         if teacher_vars is None:
             tt0 = time.time()
             t_mod = DetModule(

@@ -53,6 +53,10 @@ class DetModule:
       mode: collaboration mode (see models.det.net.MODES).
       kd_weight: weight of the DiscoNet KD MSE term (reference uses a
         large weight ~1e5 with `--kd_flag`; # VERIFY vs reference).
+      kd_reduce: KD MSE normalization — "mean" (per-element, the
+        reference's F.mse_loss default) or "pos" (normalize by the
+        global positive-anchor count like the det terms, making the KD
+        gradient scale track scene density). Ablated in PARITY.md #6.
       axis_name: set when the step runs inside shard_map for cross-device
         grad/BN psum.
     """
@@ -63,6 +67,7 @@ class DetModule:
         mode: str = "lowerbound",
         learning_rate: float = 1e-3,
         kd_weight: float = 0.0,
+        kd_reduce: str = "mean",
         mgda: bool = False,
         axis_name: Optional[str] = None,
         compute_dtype: jnp.dtype = jnp.float32,
@@ -74,6 +79,8 @@ class DetModule:
         self.config = config
         self.mode = mode
         self.kd_weight = kd_weight
+        assert kd_reduce in ("mean", "pos"), kd_reduce
+        self.kd_reduce = kd_reduce
         self.mgda = mgda
         self.axis_name = axis_name
         self.compute_dtype = compute_dtype
@@ -415,7 +422,12 @@ class DetModule:
             kd_sum, kd_n = kd_mse_loss_sum(
                 out.fused_feat, jax.lax.stop_gradient(teacher_feat)
             )
-            if self.axis_name is not None:
+            if self.kd_reduce == "pos":
+                # Normalize like the det terms (global positive count):
+                # the KD gradient then scales with scene density instead
+                # of being a constant per-element pull.
+                kd_n = denom
+            elif self.axis_name is not None:
                 kd_n = jax.lax.psum(kd_n, self.axis_name)
             kd = kd_sum / jnp.maximum(kd_n, 1.0)
             loss = loss + self.kd_weight * kd
