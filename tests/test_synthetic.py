@@ -72,3 +72,51 @@ def test_batch_stacking():
     b = generate_batch(CFG, SPEC, batch_size=3, seed=0)
     assert b["points"].shape[0] == 3
     assert b["agent_mask"].shape == (3, CFG.num_agents)
+
+
+def test_sequence_ids_persist_and_motion_is_bounded():
+    """generate_sequence: persistent identities, bounded per-frame motion
+    (tracking-table contract — tools/bench_table_track.py)."""
+    from v2x_sim_tpu.datasets.synthetic import generate_sequence
+
+    dt, vmax = 0.5, 8.0
+    frames = generate_sequence(CFG, SPEC, seed=5, num_frames=6, dt=dt,
+                               speed_range=(1.0, vmax))
+    assert len(frames) == 6
+    for fr in frames:
+        assert fr["gt_ids"].shape == fr["gt_mask"].shape
+        # padded slots carry -1, valid slots a real vehicle id
+        assert (fr["gt_ids"][~fr["gt_mask"]] == -1).all()
+        assert (fr["gt_ids"][fr["gt_mask"]] >= 0).all()
+
+    # RSU (agent 0) is static: a vehicle's consecutive positions in its
+    # frame move at most speed*dt (+ slack for the boundary bounce clamp).
+    for t in range(5):
+        a, b = frames[t], frames[t + 1]
+        ids_a = {int(i): a["gt_boxes"][0, m, :2]
+                 for m, i in enumerate(a["gt_ids"][0]) if a["gt_mask"][0, m]}
+        moved = 0
+        for m, i in enumerate(b["gt_ids"][0]):
+            if not b["gt_mask"][0, m] or int(i) not in ids_a:
+                continue
+            d = np.linalg.norm(b["gt_boxes"][0, m, :2] - ids_a[int(i)])
+            assert d <= vmax * dt + 1e-5, f"id {i} jumped {d:.2f} m"
+            moved += 1
+        assert moved >= 1, "no persistent ids between consecutive frames"
+
+
+def test_sequence_occlusion_is_persistent():
+    """A vehicle occluded for an agent must stay occluded the whole
+    sequence (the premise that lets collaboration keep tracks alive)."""
+    from v2x_sim_tpu.datasets.synthetic import generate_sequence
+
+    # With lidar_range >> world, visibility is purely the occlusion draw
+    # (range never drops anyone), so per-(agent, vehicle) it must be
+    # constant across the whole sequence iff the draw is frozen.
+    spec_far = SyntheticSpec(
+        num_vehicles=6, points_per_agent=1024, max_gt=8,
+        occlusion_prob=0.5, lidar_range=1e9
+    )
+    frames = generate_sequence(CFG, spec_far, seed=11, num_frames=5)
+    vis = np.stack([fr["visible"] for fr in frames])  # (T, A, nv)
+    assert (vis == vis[0]).all(), "occlusion must be frozen per sequence"
