@@ -97,6 +97,25 @@ class ConvGRUCell(ConvRNNCellBase):
         cand = self._conv(self.features, "candidate")(
             jnp.concatenate([r * h, x], axis=-1)
         )
+        # Numerical-health tap (v2v production-geometry diagnostic): gate
+        # means + saturation fractions + magnitudes, one row per call
+        # (= per GNN round). Dead code unless apply() is called with
+        # mutable=["diagnostics"] — sow into an unrequested collection
+        # stores nothing and XLA DCEs the stats.
+        f32 = lambda t: t.astype(jnp.float32)
+        self.sow(
+            "diagnostics",
+            "gru_stats",
+            jnp.stack([
+                f32(z).mean(),
+                (f32(z) > 0.99).mean(),
+                (f32(z) < 0.01).mean(),
+                f32(r).mean(),
+                jnp.abs(f32(jnp.tanh(cand))).mean(),
+                jnp.abs(f32(h)).mean(),
+                jnp.abs(f32(x)).mean(),
+            ]),
+        )
         return (1.0 - z) * h + z * jnp.tanh(cand)
 
 

@@ -75,6 +75,9 @@ class DetModel(nn.Module):
     #: when2com/who2com only — warp requested neighbor features into the
     #: ego frame before mixing (reference --warp_flag ablation).
     warp_flag: bool = True
+    #: v2v only — GNN message-passing rounds (reference default 3;
+    #: diagnostic knob for the production-geometry convergence study).
+    v2v_rounds: int = 3
     #: Uniform channel scale on the STPN stages (1.0 = reference 32..512).
     #: Sub-1.0 models keep the exact architecture at CI-training cost —
     #: used by the collaboration-benefit tests.
@@ -146,7 +149,9 @@ class DetModel(nn.Module):
                 dtype=self.dtype,
             )
         elif self.mode == "v2v":
-            self.fusion = V2VNetFusion(grid, dtype=self.dtype)
+            self.fusion = V2VNetFusion(
+                grid, rounds=self.v2v_rounds, dtype=self.dtype
+            )
         else:
             self.fusion = None
 

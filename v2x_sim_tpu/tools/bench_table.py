@@ -100,6 +100,11 @@ def parse_args():
         "reduced MSE; # VERIFY vs reference)",
     )
     p.add_argument(
+        "--v2v_rounds", type=int, default=3,
+        help="V2VNet GNN message rounds (reference 3) — production-"
+        "geometry convergence diagnostic knob",
+    )
+    p.add_argument(
         "--kd_reduce", default="mean", choices=["mean", "pos"],
         help="KD MSE normalization: per-element mean (reference "
         "F.mse_loss default) or global-positive-count (det-term-style)",
@@ -438,6 +443,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         width_mult=args.width_mult,
         kd_weight=args.kd_weight if kd else 0.0,
         kd_reduce=args.kd_reduce,
+        v2v_rounds=args.v2v_rounds,
     )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
     state = mod.init(jax.random.PRNGKey(seed), to_dev(raw0))

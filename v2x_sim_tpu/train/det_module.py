@@ -73,6 +73,7 @@ class DetModule:
         compute_dtype: jnp.dtype = jnp.float32,
         use_vis: bool = False,
         warp_flag: bool = True,
+        v2v_rounds: int = 3,
         width_mult: float = 1.0,
         spatial_mesh=None,
     ):
@@ -86,6 +87,7 @@ class DetModule:
         self.compute_dtype = compute_dtype
         self.use_vis = use_vis
         self.warp_flag = warp_flag
+        self.v2v_rounds = v2v_rounds
         self.width_mult = width_mult
         self.spatial_mesh = spatial_mesh
         #: parallel.mesh contract: the step impls accept optional
@@ -104,6 +106,7 @@ class DetModule:
             mode=mode,
             kd=kd_weight > 0.0,
             warp_flag=warp_flag,
+            v2v_rounds=v2v_rounds,
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
@@ -115,6 +118,7 @@ class DetModule:
             mode=mode,
             kd=kd_weight > 0.0,
             warp_flag=warp_flag,
+            v2v_rounds=v2v_rounds,
             axis_name=axis_name,
             dtype=model_dtype,
             width_mult=width_mult,
@@ -127,6 +131,7 @@ class DetModule:
             mode=mode,
             kd=kd_weight > 0.0,
             warp_flag=warp_flag,
+            v2v_rounds=v2v_rounds,
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
