@@ -69,11 +69,32 @@ smoke:
 	    --save_dets /tmp/v2x_smoke/dets
 	python -m v2x_sim_tpu.tools.track --dets /tmp/v2x_smoke/dets
 
-# Benchmark tables: per-mode mAP (det) / mIoU (seg) on synthetic occluded
-# scenes — the reference's per-task README tables, reproducible offline.
+# Benchmark tables: per-mode mAP (det) / mIoU (seg) / MOTA-HOTA (track)
+# on synthetic occluded scenes — the reference's three per-task README
+# tables, reproducible offline.
 bench_table:
 	python -m v2x_sim_tpu.tools.bench_table --cpu --grid tiny \
 	    --steps 600 --width_mult 0.25 --match center --out BENCH_TABLE.md
 bench_table_seg:
 	python -m v2x_sim_tpu.tools.bench_table --task seg --cpu --grid tiny1m \
 	    --seg_depth 2 --steps 1500 --width_mult 0.25 --out BENCH_TABLE_SEG.md
+
+# Production-geometry tables (TPU): det with convergence milestones +
+# saved per-mode weights, then tracking over those weights, then seg.
+bench_table_full:
+	python -m v2x_sim_tpu.tools.bench_table --grid full --steps 12000 \
+	    --batch 8 --agents 6 --data_pool 600 --cosine \
+	    --eval_at 1500,3000,6000 --eval_batches 12 \
+	    --modes lowerbound,max,when2com,disco,upperbound,disco+kd,v2v \
+	    --save_states runs/table_states_full --out BENCH_TABLE_FULL.md
+bench_table_track:
+	python -m v2x_sim_tpu.tools.bench_table_track \
+	    --states runs/table_states_full --grid full --agents 6 \
+	    --seqs 6 --frames 20 --out BENCH_TABLE_TRACK.md
+bench_table_seg_full:
+	python -m v2x_sim_tpu.tools.bench_table --task seg --grid full \
+	    --seg_depth 4 --steps 2500 --batch 8 --agents 6 --data_pool 300 \
+	    --cosine --out BENCH_TABLE_SEG_FULL.md
+diag_v2v:
+	python -m v2x_sim_tpu.tools.diag_v2v --grid full --agents 6 \
+	    --steps 600 --probe_every 100

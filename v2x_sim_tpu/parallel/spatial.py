@@ -15,15 +15,19 @@ the torch pad-1 convention the backbone uses — so the sharded stage is
 numerically identical to the unsharded one (tests/test_spatial.py
 asserts this on an 8-way CPU mesh).
 
-Training is covered too: `make_spatial_stem_train_step` runs a full
-optimization step of the stage-0 stem under row sharding — train-mode
-BatchNorm whose batch statistics are `pmean`'d over SPATIAL_AXIS (the
-DP pattern from parallel.mesh, applied to the spatial axis), gradients
-flowing through the `ppermute` halo exchange (its transpose is the
-reverse ppermute, so cross-shard cotangents ride the same ICI links),
-and a grad psum across shards. tests/test_spatial.py asserts exact
-equivalence of loss, updated params, and updated BN running stats
-against the unsharded flax ConvBlock train step.
+Manual-path training scope: `make_spatial_stem_train_step` runs a full
+optimization step of the STAGE-0 STEM ONLY under row sharding —
+train-mode BatchNorm whose batch statistics are `pmean`'d over
+SPATIAL_AXIS, gradients flowing through the `ppermute` halo exchange
+(its transpose is the reverse ppermute, so cross-shard cotangents ride
+the same ICI links), and a grad psum across shards; tests/test_spatial.py
+asserts exact equivalence of loss, updated params, and updated BN
+running stats against the unsharded flax ConvBlock train step. It is a
+mechanism proof, not the production path: FULL-MODEL spatially-sharded
+training runs through GSPMD (DetModel/SegModel `spatial_mesh` pins +
+XLA's automatic halo exchange — __graft_entry__ dryrun variants C/D),
+where the partitioner emits these same collectives without the manual
+bookkeeping. See docs/SCALING.md for when each path applies.
 """
 
 from __future__ import annotations
