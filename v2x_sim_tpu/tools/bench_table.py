@@ -100,6 +100,11 @@ def parse_args():
         "reduced MSE; # VERIFY vs reference)",
     )
     p.add_argument(
+        "--warp_flag", type=int, default=1,
+        help="when2com/who2com: warp requested neighbor features into "
+        "the ego frame before mixing (reference --warp_flag ablation)",
+    )
+    p.add_argument(
         "--v2v_rounds", type=int, default=3,
         help="V2VNet GNN message rounds (reference 3) — production-"
         "geometry convergence diagnostic knob",
@@ -108,6 +113,13 @@ def parse_args():
         "--kd_reduce", default="mean", choices=["mean", "pos"],
         help="KD MSE normalization: per-element mean (reference "
         "F.mse_loss default) or global-positive-count (det-term-style)",
+    )
+    p.add_argument(
+        "--kd_sweep", default="",
+        help="comma list of WEIGHT[:REDUCE] specs (e.g. "
+        "'1e3,1e4,1e5,1e4:pos'): the disco+kd mode expands into one row "
+        "per spec, sharing the pool and teacher within one process — "
+        "the PARITY.md #6 kd_weight ablation",
     )
     p.add_argument(
         "--teacher_state", default="",
@@ -444,6 +456,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         kd_weight=args.kd_weight if kd else 0.0,
         kd_reduce=args.kd_reduce,
         v2v_rounds=args.v2v_rounds,
+        warp_flag=bool(args.warp_flag),
     )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
     state = mod.init(jax.random.PRNGKey(seed), to_dev(raw0))
@@ -604,10 +617,12 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
     })
     print(json.dumps(row), flush=True)
     if args.curves_path:
+        rec = {"mode": mode, "seed": seed, "curve": curve}
+        if kd:
+            rec["kd_weight"] = args.kd_weight
+            rec["kd_reduce"] = args.kd_reduce
         with open(args.curves_path, "a") as f:
-            f.write(json.dumps(
-                {"mode": mode, "seed": seed, "curve": curve}
-            ) + "\n")
+            f.write(json.dumps(rec) + "\n")
     return row
 
 
@@ -769,12 +784,25 @@ def main():
     shared = {}
     rows = []
     for m in modes:
-        per_seed = [
-            runner(m, args, config, spec, shared, seed=s) for s in seeds
-        ]
-        rows.append(
-            aggregate_seeds(per_seed) if len(seeds) > 1 else per_seed[0]
-        )
+        variants = [(m, args)]
+        if m == "disco+kd" and args.kd_sweep and args.task == "det":
+            variants = []
+            for spec_str in args.kd_sweep.split(","):
+                w, _, red = spec_str.strip().partition(":")
+                a2 = argparse.Namespace(**vars(args))
+                a2.kd_weight = float(w)
+                a2.kd_reduce = red or "mean"
+                a2.save_states = ""  # one file per mode name — ambiguous
+                variants.append((f"disco+kd[{w},{a2.kd_reduce}]", a2))
+        for label, a in variants:
+            per_seed = [
+                runner(m, a, config, spec, shared, seed=s) for s in seeds
+            ]
+            row = (
+                aggregate_seeds(per_seed) if len(seeds) > 1 else per_seed[0]
+            )
+            row["mode"] = label
+            rows.append(row)
     write_table(rows, args, args.out)
 
 
