@@ -36,3 +36,6 @@ def test_dryrun_multichip_driver_style():
     assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
     assert "dryrun disco+kd ok" in proc.stdout
     assert "dryrun mgda ok" in proc.stdout
+    assert "dryrun gspmd dp x spatial ok" in proc.stdout
+    assert "dryrun seg dp ok" in proc.stdout
+    assert "dryrun gspmd seg dp x spatial ok" in proc.stdout
