@@ -409,6 +409,11 @@ def _train_stream(args, config, spec, seed, shared):
         print(f"pool generated ({time.time() - t0:.0f}s)", flush=True)
         if args.task == "det" and args.bake_pool:
             _bake_pool_targets(pool, config)
+        for raw in pool:
+            if "seg_labels" in raw:
+                # 8 classes fit int8; int32 labels are 12.6 MB/batch at
+                # the full grid — 4x the device-pool HBM for nothing.
+                raw["seg_labels"] = np.asarray(raw["seg_labels"], np.int8)
         pool = [
             {k: jnp.asarray(v) for k, v in raw.items()} for raw in pool
         ]
