@@ -80,6 +80,15 @@ def test_det_kd_distillation_runs(batch):
     state, m = mod.train_step(state, prepared, teacher_vars)
     assert "kd_loss" in m and np.isfinite(float(m["kd_loss"]))
 
+    # kd_reduce="pos": same MSE sum normalized by the positive-anchor
+    # count instead of the element count — with identical init/teacher
+    # the reported kd_loss must change (and stay finite).
+    mod_p = DetModule(CFG, mode="disco", kd_weight=10.0, kd_reduce="pos")
+    state_p = mod_p.init(jax.random.PRNGKey(0), batch)
+    _, m_p = mod_p.train_step(state_p, prepared, teacher_vars)
+    assert np.isfinite(float(m_p["kd_loss"]))
+    assert float(m_p["kd_loss"]) != float(m["kd_loss"])
+
 
 def test_seg_overfits_and_miou(batch):
     mod = SegModule(CFG, mode="lowerbound", learning_rate=3e-3)
