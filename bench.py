@@ -240,11 +240,14 @@ def _cached_pipeline_sps(module, cfg, spec, tstate) -> float:
     tmpdir = tempfile.mkdtemp(prefix="v2x_bench_cache_")
     try:
         anchors = jnp.asarray(anchor_grid(cfg))
+        caps = {}  # shared across frames: uniform index caps -> stackable
         for i in range(2 * BATCH):
             frame = generate_scene(cfg, spec, seed=50_000 + i)
             for k in ("visible", "gt_vehicle", "seg_labels"):
                 frame.pop(k, None)
-            save_frame(tmpdir, f"f{i:05d}", _add_targets(frame, cfg, anchors))
+            save_frame(
+                tmpdir, f"f{i:05d}", _add_targets(frame, cfg, anchors, caps)
+            )
         ds = NpzCacheDataset(tmpdir)
 
         def epochs(n):

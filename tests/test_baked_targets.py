@@ -54,7 +54,8 @@ def _stack(frames):
 def test_prepare_batch_baked_equals_live():
     anchors = jnp.asarray(anchor_grid(CFG))
     frames = _frames(2)
-    baked = [_add_targets(f, CFG, anchors) for f in frames]
+    caps = {}  # shared across frames like the CLI does
+    baked = [_add_targets(f, CFG, anchors, caps) for f in frames]
 
     raw_b = {k: jnp.asarray(v) for k, v in _stack(frames).items()}
     baked_b = strip_stale_targets(_stack(baked), CFG)
@@ -77,7 +78,7 @@ def test_strip_stale_targets_fingerprint():
     baked = _stack([_add_targets(f, CFG, anchors) for f in _frames(1)])
 
     ok = strip_stale_targets(baked, CFG)
-    assert "tgt_labels" in ok and "tgt_meta" not in ok
+    assert "tgt_pos_idx" in ok and "tgt_meta" not in ok
 
     other = Config(
         grid=GridConfig(
@@ -114,7 +115,8 @@ def test_create_data_cli_bakes_and_trains(tmp_path, monkeypatch):
     ds = NpzCacheDataset(str(tmp_path / "train"))
     assert len(ds) == 2
     frame = ds[0]
-    for key in ("tgt_labels", "tgt_cells", "tgt_reg", "tgt_wts", "tgt_meta"):
+    for key in ("tgt_pos_idx", "tgt_ign_idx", "tgt_cells", "tgt_reg",
+                "tgt_wts", "tgt_meta"):
         assert key in frame, key
 
     cfg = Config(grid=GridConfig(voxel_size=(1.0, 1.0, 0.625)))

@@ -1,7 +1,8 @@
 """bench_table internals: device pool target baking parity.
 
 The sweep's per-step fast path reconstructs dense cls labels from the
-pool's sparse pos/ignore indices (tools.bench_table._recon_labels_jit);
+pool's sparse pos/ignore indices (ops.assign.labels_from_sparse_idx —
+the same wire format create_data_det --targets writes);
 a mismatch vs the live assignment would silently train every table row
 on wrong labels. _bake_pool_targets parity-checks batch 0 internally;
 this test covers later batches and the end-to-end fetch closure.
@@ -30,10 +31,8 @@ def test_pool_bake_reconstruction_matches_assignment():
 
     from v2x_sim_tpu.ops.anchors import anchor_grid
     from v2x_sim_tpu.ops.assign import assign_targets_batched
-    from v2x_sim_tpu.tools.bench_table import (
-        _bake_pool_targets,
-        _recon_labels_jit,
-    )
+    from v2x_sim_tpu.ops.assign import labels_from_sparse_idx
+    from v2x_sim_tpu.tools.bench_table import _bake_pool_targets
 
     pool = [
         generate_batch(CFG, SPEC, batch_size=2, seed=100 + i)
@@ -42,7 +41,6 @@ def test_pool_bake_reconstruction_matches_assignment():
     n = _bake_pool_targets(pool, CFG)
 
     anchors = jnp.asarray(anchor_grid(CFG))
-    recon = _recon_labels_jit(n)
     for raw in pool:  # every batch, not just the parity-checked first
         b, a, m, _ = raw["gt_boxes"].shape
         sp = assign_targets_batched(
@@ -52,7 +50,9 @@ def test_pool_bake_reconstruction_matches_assignment():
             CFG,
             flat="sparse",
         )
-        got = np.asarray(recon(raw["pos_idx"], raw["ign_idx"]))
+        got = np.asarray(
+            labels_from_sparse_idx(raw["pos_idx"], raw["ign_idx"], n)
+        )
         assert np.array_equal(got.reshape(b * a, n), np.asarray(sp.labels))
         # sparse localization targets rode along unchanged
         assert np.array_equal(

@@ -385,3 +385,64 @@ def assign_targets(
         gt_boxes[None], gt_mask[None], anchors, config
     )
     return AnchorTargets(*(x[0] for x in out))
+
+
+# --------------------------------------------------------------------- #
+# Sparse dense-label compression (the cache / device-pool wire format)
+# --------------------------------------------------------------------- #
+# The dense (…, H*W*K) int8 cls-label map is ~2.4 MB per agent at the
+# production grid but is ~zeros outside the positive and ignore sets, so
+# caches and device pools store only those flat indices (padded with n =
+# out of bounds) and rebuild the dense map on device — two HBM scatters.
+
+
+def labels_from_sparse_idx(
+    pos_idx: jnp.ndarray, ign_idx: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """Padded flat indices -> dense (..., n) int8 labels {1, 0, -1}.
+
+    Plain jnp (composable inside an enclosing jit); pad index n is
+    dropped by the scatters. Leading dims arbitrary.
+    """
+    lead = pos_idx.shape[:-1]
+    flat_p = pos_idx.reshape((-1, pos_idx.shape[-1]))
+    flat_i = ign_idx.reshape((-1, ign_idx.shape[-1]))
+    rows = jnp.arange(flat_p.shape[0])[:, None]
+    lab = jnp.zeros((flat_p.shape[0], n), jnp.int8)
+    lab = lab.at[rows, flat_i].set(jnp.int8(-1), mode="drop")
+    lab = lab.at[rows, flat_p].set(jnp.int8(1), mode="drop")
+    return lab.reshape(lead + (n,))
+
+
+@functools.lru_cache(maxsize=None)
+def _sparse_label_idx_jit(cap_pos: int, cap_ign: int, n: int):
+    """Jitted (rows, n) int8 labels -> (pos_idx, ign_idx, max_pos,
+    max_ign). Indices padded with n; the max counts let callers assert
+    the caps held (an overflowing row would silently truncate)."""
+
+    def f(labels):
+        pos = jax.vmap(
+            lambda r: jnp.flatnonzero(r == 1, size=cap_pos, fill_value=n)
+        )(labels)
+        ign = jax.vmap(
+            lambda r: jnp.flatnonzero(r == -1, size=cap_ign, fill_value=n)
+        )(labels)
+        return (
+            pos.astype(jnp.int32),
+            ign.astype(jnp.int32),
+            (labels == 1).sum(-1).max(),
+            (labels == -1).sum(-1).max(),
+        )
+
+    return jax.jit(f)
+
+
+def sparse_label_idx(labels, cap_pos: int, cap_ign: int):
+    """Compress dense (rows, n) labels to padded index lists (see
+    :func:`labels_from_sparse_idx`)."""
+    return _sparse_label_idx_jit(cap_pos, cap_ign, labels.shape[-1])(labels)
+
+
+label_counts = jax.jit(
+    lambda labels: ((labels == 1).sum(-1).max(), (labels == -1).sum(-1).max())
+)

@@ -253,7 +253,12 @@ def _bake_pool_targets(pool, config):
     import jax.numpy as jnp
 
     from v2x_sim_tpu.ops.anchors import anchor_grid
-    from v2x_sim_tpu.ops.assign import assign_targets_batched
+    from v2x_sim_tpu.ops.assign import (
+        _sparse_label_idx_jit,
+        assign_targets_batched,
+        label_counts,
+        labels_from_sparse_idx,
+    )
 
     anchors = jnp.asarray(anchor_grid(config))
     h, w, k, _ = anchors.shape
@@ -282,7 +287,7 @@ def _bake_pool_targets(pool, config):
             # 128-lane rounded); per-batch overflow is asserted below.
             # Everything stays ON DEVICE: a dense-label pull is 19 MB per
             # batch over the (45 MB/s, ~3 min first-transfer) tunnel.
-            counts = _label_counts_jit()(sp.labels)
+            counts = label_counts(sp.labels)
             caps = tuple(
                 max(128, int(-(-2 * int(c) // 128) * 128)) for c in counts
             )
@@ -302,71 +307,13 @@ def _bake_pool_targets(pool, config):
     )
     b, a = pool[0]["agent_mask"].shape
     recon = np.asarray(
-        _recon_labels_jit(n)(pool[0]["pos_idx"], pool[0]["ign_idx"])
+        labels_from_sparse_idx(pool[0]["pos_idx"], pool[0]["ign_idx"], n)
     ).reshape(b * a, n)
     assert np.array_equal(recon, np.asarray(first_labels)), (
         "sparse label reconstruction does not match the dense assignment"
     )
     print(f"pool targets baked ({time.time() - t0:.0f}s)", flush=True)
     return n
-
-
-@functools.lru_cache(maxsize=None)
-def _label_counts_jit():
-    import jax
-    import jax.numpy as jnp
-
-    return jax.jit(
-        lambda labels: (
-            (labels == 1).sum(-1).max(),
-            (labels == -1).sum(-1).max(),
-        )
-    )
-
-
-@functools.lru_cache(maxsize=None)
-def _sparse_label_idx_jit(cap_pos, cap_ign, n):
-    """Jitted (BA, n) int8 labels -> padded flat indices of the positive
-    and ignore anchors (pad = n, out of bounds for the reconstruction
-    scatter) plus max per-row counts for overflow asserts."""
-    import jax
-    import jax.numpy as jnp
-
-    def f(labels):
-        pos = jax.vmap(
-            lambda r: jnp.flatnonzero(r == 1, size=cap_pos, fill_value=n)
-        )(labels)
-        ign = jax.vmap(
-            lambda r: jnp.flatnonzero(r == -1, size=cap_ign, fill_value=n)
-        )(labels)
-        return (
-            pos.astype(jnp.int32),
-            ign.astype(jnp.int32),
-            (labels == 1).sum(-1).max(),
-            (labels == -1).sum(-1).max(),
-        )
-
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=None)
-def _recon_labels_jit(n):
-    """Jitted (B, A, Lp)/(B, A, Li) padded flat indices -> dense (B, A, n)
-    int8 labels {1, 0, -1}. Two HBM scatters; pad index n is dropped.
-    Built lazily so importing this module never imports jax (main() must
-    set the platform first)."""
-    import jax
-    import jax.numpy as jnp
-
-    def recon(pos_idx, ign_idx):
-        b, a = pos_idx.shape[:2]
-        bi = jnp.arange(b)[:, None, None]
-        ai = jnp.arange(a)[None, :, None]
-        lab = jnp.zeros((b, a, n), jnp.int8)
-        lab = lab.at[bi, ai, ign_idx].set(jnp.int8(-1), mode="drop")
-        return lab.at[bi, ai, pos_idx].set(jnp.int8(1), mode="drop")
-
-    return jax.jit(recon)
 
 
 def _train_stream(args, config, spec, seed, shared):
@@ -420,15 +367,16 @@ def _train_stream(args, config, spec, seed, shared):
         if shared is not None:
             shared[pkey] = pool
     if args.task == "det" and args.bake_pool:
-        h, w = config.grid.bev_shape
-        recon = _recon_labels_jit(h * w * config.anchors.num_anchors)
-
+        # prepare_batch reconstructs dense labels on device from the
+        # sparse indices (ops.assign.labels_from_sparse_idx) — just
+        # rename the pool keys to the cache wire format it consumes.
         def fetch(s):
             e = pool[s % len(pool)]
             batch = {
                 k: v for k, v in e.items() if k not in ("pos_idx", "ign_idx")
             }
-            batch["tgt_labels"] = recon(e["pos_idx"], e["ign_idx"])
+            batch["tgt_pos_idx"] = e["pos_idx"]
+            batch["tgt_ign_idx"] = e["ign_idx"]
             return batch
 
         return fetch

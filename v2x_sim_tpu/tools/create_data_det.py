@@ -72,15 +72,28 @@ def _add_vis(frame, config, num_samples):
     return frame
 
 
-def _add_targets(frame, config, anchors):
+def _add_targets(frame, config, anchors, caps=None):
     """Bake the sparse anchor assignment (ops.assign, flat='sparse') for
     every agent of one frame. Stored pre-layout: the s2d blocking /
     positive-index transforms are cheap integer ops that stay in
-    DetModule.prepare_batch, so one cache serves every head layout."""
+    DetModule.prepare_batch, so one cache serves every head layout.
+
+    The dense cls-label map is stored COMPRESSED as padded positive /
+    ignore flat-index lists (tgt_pos_idx / tgt_ign_idx — 12x smaller on
+    disk and over the train-time host->device link; DetModule rebuilds
+    the dense map on device). `caps` is a mutable dict holding the index
+    capacities, auto-sized off the first frame (2x margin, 128-rounded)
+    and asserted on every later frame so all frames stack uniformly.
+    """
     import jax.numpy as jnp
     import numpy as np
 
-    from v2x_sim_tpu.ops.assign import assign_targets_batched
+    from v2x_sim_tpu.ops.assign import (
+        _sparse_label_idx_jit,
+        assign_targets_batched,
+        label_counts,
+        target_fingerprint,
+    )
 
     sp = assign_targets_batched(
         jnp.asarray(frame["gt_boxes"]),  # (A, M, 5): agents as the batch
@@ -89,14 +102,28 @@ def _add_targets(frame, config, anchors):
         config,
         flat="sparse",
     )
+    h, w, k, _ = anchors.shape
+    n = h * w * k
+    if caps is None:
+        caps = {}
+    if "caps" not in caps:
+        counts = label_counts(sp.labels)
+        caps["caps"] = tuple(
+            max(128, int(-(-2 * int(c) // 128) * 128)) for c in counts
+        )
+    pos, ign, npos, nign = _sparse_label_idx_jit(*caps["caps"], n)(sp.labels)
+    assert int(npos) <= caps["caps"][0] and int(nign) <= caps["caps"][1], (
+        f"label index capacity exceeded (pos {int(npos)}/{caps['caps'][0]}, "
+        f"ign {int(nign)}/{caps['caps'][1]}) — this frame has far more "
+        "positive/ignore anchors than the first one; re-run with a "
+        "different --seed ordering or raise the caps in _add_targets"
+    )
     frame = dict(frame)
-    frame["tgt_labels"] = np.asarray(sp.labels, np.int8)
+    frame["tgt_pos_idx"] = np.asarray(pos, np.int32)
+    frame["tgt_ign_idx"] = np.asarray(ign, np.int32)
     frame["tgt_cells"] = np.asarray(sp.cells, np.int32)
     frame["tgt_wts"] = np.asarray(sp.wts, np.float32)
     frame["tgt_reg"] = np.asarray(sp.reg, np.float32)
-    h, w, k, _ = anchors.shape
-    from v2x_sim_tpu.ops.assign import target_fingerprint
-
     frame["tgt_meta"] = np.array(
         [h, w, k, sp.cells.shape[-1], target_fingerprint(config)], np.int32
     )
@@ -118,6 +145,7 @@ def main():
     config = Config(grid=grid)
 
     anchors = None
+    target_caps = {}
     if args.targets:
         import jax.numpy as jnp
 
@@ -141,7 +169,7 @@ def main():
                 if args.vis:
                     frame = _add_vis(frame, config, args.vis_samples)
                 if args.targets:
-                    frame = _add_targets(frame, config, anchors)
+                    frame = _add_targets(frame, config, anchors, target_caps)
                 save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame)
                 count += 1
     else:
@@ -161,7 +189,7 @@ def main():
             if args.vis:
                 frame = _add_vis(frame, config, args.vis_samples)
             if args.targets:
-                frame = _add_targets(frame, config, anchors)
+                frame = _add_targets(frame, config, anchors, target_caps)
             save_frame(out, f"frame{i:06d}", frame)
             count += 1
     print(f"wrote {count} frames to {out}")

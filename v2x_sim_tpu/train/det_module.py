@@ -273,16 +273,28 @@ class DetModule:
         asynchronously ahead of the train step."""
         out = dict(batch)
         out["occupancy"] = self._model_input(batch)
-        if "tgt_labels" in batch:
+        if "tgt_labels" in batch or "tgt_pos_idx" in batch:
             # Baked offline by create_data_det --targets 1 (the
             # reference's create_data bakes targets too, SURVEY.md §3.1):
             # the windowed rotated-IoU assignment is skipped and only the
-            # cheap layout transforms below run per batch.
-            labels, cells = batch["tgt_labels"], batch["tgt_cells"]
+            # cheap layout transforms below run per batch. The labels
+            # arrive either dense (legacy caches) or as sparse pos/ignore
+            # flat indices (current wire format — 12x smaller on disk and
+            # over the host->device link) rebuilt here with two scatters.
+            if "tgt_labels" in batch:
+                labels = batch["tgt_labels"]
+            else:
+                from v2x_sim_tpu.ops.assign import labels_from_sparse_idx
+
+                h, w, k = self._grid_dims()
+                labels = labels_from_sparse_idx(
+                    batch["tgt_pos_idx"], batch["tgt_ign_idx"], h * w * k
+                )
+            cells = batch["tgt_cells"]
             reg, wts = batch["tgt_reg"], batch["tgt_wts"]
-            for k in ("tgt_labels", "tgt_cells", "tgt_reg", "tgt_wts",
-                      "tgt_meta"):
-                out.pop(k, None)
+            for key in ("tgt_labels", "tgt_pos_idx", "tgt_ign_idx",
+                        "tgt_cells", "tgt_reg", "tgt_wts", "tgt_meta"):
+                out.pop(key, None)
         else:
             sp = self.targets_from_gt(
                 batch["gt_boxes"], batch["gt_mask"], flat="sparse"
