@@ -78,6 +78,9 @@ class DetModel(nn.Module):
     #: v2v only — GNN message-passing rounds (reference default 3;
     #: diagnostic knob for the production-geometry convergence study).
     v2v_rounds: int = 3
+    #: v2v only — GroupNorm the aggregated message (off = reference
+    #: parity; see docs/V2V_DIAGNOSIS.md).
+    v2v_msg_norm: bool = False
     #: Uniform channel scale on the STPN stages (1.0 = reference 32..512).
     #: Sub-1.0 models keep the exact architecture at CI-training cost —
     #: used by the collaboration-benefit tests.
@@ -150,7 +153,8 @@ class DetModel(nn.Module):
             )
         elif self.mode == "v2v":
             self.fusion = V2VNetFusion(
-                grid, rounds=self.v2v_rounds, dtype=self.dtype
+                grid, rounds=self.v2v_rounds, msg_norm=self.v2v_msg_norm,
+                dtype=self.dtype,
             )
         else:
             self.fusion = None

@@ -27,6 +27,13 @@ class V2VNetFusion(nn.Module):
 
     grid: GridConfig
     rounds: int = 3  # VERIFY vs reference († V2VNet.py message rounds)
+    #: Opt-in GroupNorm on the aggregated message before the GRU. The
+    #: reference has no message normalization (default off for parity),
+    #: but without it constant-lr training at full width can blow the
+    #: message magnitudes up (|x| ~90 by step 150) and pin every GRU
+    #: gate — docs/V2V_DIAGNOSIS.md. Bounded messages make v2v robust
+    #: to the lr schedule.
+    msg_norm: bool = False
     dtype: object = None
 
     @nn.compact
@@ -35,6 +42,12 @@ class V2VNetFusion(nn.Module):
         gru = ConvGRUCell(features=c, name="conv_gru", dtype=self.dtype)
         msg_conv1 = nn.Conv(c, (3, 3), name="msg_hidden", dtype=self.dtype)
         msg_conv2 = nn.Conv(c, (3, 3), name="msg_out", dtype=self.dtype)
+        norm = (
+            nn.GroupNorm(num_groups=min(32, c), name="msg_norm",
+                         dtype=self.dtype)
+            if self.msg_norm
+            else None
+        )
 
         not_self = (1.0 - jnp.eye(a, dtype=feats.dtype))[None, :, :, None, None, None]
         valid_src = mask[:, None, :, None, None, None].astype(feats.dtype)
@@ -50,5 +63,9 @@ class V2VNetFusion(nn.Module):
             msg = nn.relu(msg_conv1(pair))
             msg = nn.relu(msg_conv2(msg))
             agg = jnp.sum(msg * pair_w, axis=2) / n_nbr[..., None, None, None]
+            if norm is not None:
+                agg = norm(agg.reshape(b * a, h, w, c)).reshape(
+                    b, a, h, w, c
+                )
             state = gru(state, agg)
         return state

@@ -74,6 +74,7 @@ class DetModule:
         use_vis: bool = False,
         warp_flag: bool = True,
         v2v_rounds: int = 3,
+        v2v_msg_norm: bool = False,
         width_mult: float = 1.0,
         spatial_mesh=None,
     ):
@@ -88,6 +89,7 @@ class DetModule:
         self.use_vis = use_vis
         self.warp_flag = warp_flag
         self.v2v_rounds = v2v_rounds
+        self.v2v_msg_norm = v2v_msg_norm
         self.width_mult = width_mult
         self.spatial_mesh = spatial_mesh
         #: parallel.mesh contract: the step impls accept optional
@@ -107,6 +109,7 @@ class DetModule:
             kd=kd_weight > 0.0,
             warp_flag=warp_flag,
             v2v_rounds=v2v_rounds,
+            v2v_msg_norm=v2v_msg_norm,
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
@@ -119,6 +122,7 @@ class DetModule:
             kd=kd_weight > 0.0,
             warp_flag=warp_flag,
             v2v_rounds=v2v_rounds,
+            v2v_msg_norm=v2v_msg_norm,
             axis_name=axis_name,
             dtype=model_dtype,
             width_mult=width_mult,
@@ -132,6 +136,7 @@ class DetModule:
             kd=kd_weight > 0.0,
             warp_flag=warp_flag,
             v2v_rounds=v2v_rounds,
+            v2v_msg_norm=v2v_msg_norm,
             axis_name=axis_name,
             dtype=model_dtype,
             blocked_heads=self._blocked,
