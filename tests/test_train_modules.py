@@ -182,3 +182,14 @@ def test_det_mgda_with_kd_runs(batch):
     assert np.isfinite(float(m["kd_loss"]))
     wsum = sum(float(v) for k, v in m.items() if k.startswith("mgda_w_"))
     assert abs(wsum - 1.0) < 1e-5
+
+
+def test_v2v_rounds_and_msg_norm_step(batch):
+    """Diagnostic knobs (docs/V2V_DIAGNOSIS.md): rounds=1 and the opt-in
+    message GroupNorm must train a finite step; msg_norm adds params."""
+    mod = DetModule(CFG, mode="v2v", v2v_rounds=1, v2v_msg_norm=True)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    assert any("msg_norm" in str(p) for p, _ in flat)
+    state, m = mod.train_step(state, mod.prepare_batch(batch))
+    assert np.isfinite(float(m["loss"]))
