@@ -87,6 +87,10 @@ bench_table_full:
 	    --eval_at 1500,3000,6000 --eval_batches 12 \
 	    --modes lowerbound,max,when2com,disco,upperbound,disco+kd,v2v \
 	    --save_states runs/table_states_full --out BENCH_TABLE_FULL.md
+bench_table_full_seeds:
+	python -m v2x_sim_tpu.tools.bench_table_merge \
+	    --curves BENCH_TABLE_FULL_curves.jsonl,BENCH_TABLE_FULL_SEED1_curves.jsonl \
+	    --out BENCH_TABLE_FULL_SEEDS.md
 bench_table_track:
 	python -m v2x_sim_tpu.tools.bench_table_track \
 	    --states runs/table_states_full --grid full --agents 6 \

@@ -188,7 +188,15 @@ def run() -> None:
     dt_e2e = time.perf_counter() - t0
     train_e2e_sps = BATCH * TRAIN_STEPS / dt_e2e
 
-    train_cached_sps = _cached_pipeline_sps(module, cfg, spec, tstate)
+    # Guarded: the cached-pipeline stage touches disk + threads and is the
+    # only part of this file that has never run on the round-end TPU; a
+    # failure there must not cost the whole headline JSON.
+    try:
+        train_cached_sps = _cached_pipeline_sps(module, cfg, spec, tstate)
+    except Exception as e:  # noqa: BLE001 — headline must still print
+        print(f"cached-pipeline stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        train_cached_sps = float("nan")
 
     print(
         json.dumps(

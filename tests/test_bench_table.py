@@ -59,3 +59,44 @@ def test_pool_bake_reconstruction_matches_assignment():
             np.asarray(raw["tgt_reg"]).reshape(b * a, *sp.reg.shape[1:]),
             np.asarray(sp.reg),
         )
+
+
+def test_seed_merge_folds_cross_run_curves(tmp_path):
+    """bench_table_merge: two independent sweeps (one seed each) fold
+    into per-mode mean±std over the FINAL milestone, keep per-seed
+    columns, and render every milestone in the convergence section."""
+    import json
+
+    from v2x_sim_tpu.tools.bench_table_merge import load_records, render
+
+    a = tmp_path / "s0_curves.jsonl"
+    b = tmp_path / "s1_curves.jsonl"
+    a.write_text(
+        json.dumps({"mode": "disco", "seed": 0, "curve": [
+            {"step": 100, "loss": 0.5, "mAP@0.5": 0.10, "mAP@0.7": 0.05},
+            {"step": 200, "loss": 0.4, "mAP@0.5": 0.20, "mAP@0.7": 0.10},
+        ]}) + "\n"
+    )
+    b.write_text(
+        json.dumps({"mode": "disco", "seed": 1, "curve": [
+            # deliberately out of order: merge must sort by step
+            {"step": 200, "loss": 0.2, "mAP@0.5": 0.40, "mAP@0.7": 0.30},
+            {"step": 100, "loss": 0.6, "mAP@0.5": 0.05, "mAP@0.7": 0.02},
+        ]}) + "\n"
+        + json.dumps({"mode": "lowerbound", "seed": 1, "curve": [
+            {"step": 200, "loss": 0.7, "mAP@0.5": 0.08, "mAP@0.7": 0.03},
+        ]}) + "\n"
+    )
+
+    by_mode = load_records([str(a), str(b)])
+    assert set(by_mode) == {"disco", "lowerbound"}
+    assert by_mode["disco"][1][-1]["step"] == 200  # sorted despite file order
+
+    md = render(by_mode, [str(a), str(b)])
+    # disco finals: 0.20 and 0.40 -> mean 0.3, population std 0.1
+    assert "0.3±0.1" in md
+    # single-seed mode renders without a ±, with a dash for the absent seed
+    row = next(l for l in md.splitlines() if l.startswith("| lowerbound"))
+    assert "—" in row and "±" not in row.split("|")[4]
+    # convergence section carries every milestone
+    assert "0.05@100 → 0.4@200" in md

@@ -531,7 +531,11 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
             state, metrics = mod.train_step(
                 state, mod.prepare_batch(to_dev(stream(s))), *targs
             )
-            loss = metrics["loss"]
+            # Task loss (cls+loc) only: the KD term is scaled by kd_weight
+            # (1e5 by default), so including it would make the final_loss
+            # column incomparable across rows (VERDICT r3 "disco+kd
+            # bookkeeping").
+            loss = metrics["cls_loss"] + metrics["loc_loss"]
         jax.block_until_ready(loss)
         train_s += time.time() - t0
         done = seg_end
