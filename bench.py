@@ -196,7 +196,10 @@ def run() -> None:
     except Exception as e:  # noqa: BLE001 — headline must still print
         print(f"cached-pipeline stage failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-        train_cached_sps = float("nan")
+        # None (JSON null), not NaN: json.dumps emits the bare token
+        # `NaN`, which strict JSON parsers reject — failing the whole
+        # headline line this guard exists to protect (r4 advisor).
+        train_cached_sps = None
 
     print(
         json.dumps(
@@ -215,7 +218,10 @@ def run() -> None:
                     100 * train_tflops * 1e12 / V5E_BF16_PEAK_FLOPS, 1
                 ),
                 "train_e2e_scenes_per_sec": round(train_e2e_sps, 2),
-                "train_cached_scenes_per_sec": round(train_cached_sps, 2),
+                "train_cached_scenes_per_sec": (
+                    None if train_cached_sps is None
+                    else round(train_cached_sps, 2)
+                ),
             }
         )
     )

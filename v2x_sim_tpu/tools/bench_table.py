@@ -527,14 +527,18 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
     done = 0
     for seg_end in segments:
         t0 = time.time()
+        metrics = None
         for s in range(done, seg_end):
             state, metrics = mod.train_step(
                 state, mod.prepare_batch(to_dev(stream(s))), *targs
             )
-            # Task loss (cls+loc) only: the KD term is scaled by kd_weight
-            # (1e5 by default), so including it would make the final_loss
-            # column incomparable across rows (VERDICT r3 "disco+kd
-            # bookkeeping").
+        # Task loss (cls+loc) only: the KD term is scaled by kd_weight
+        # (1e5 by default), so including it would make the final_loss
+        # column incomparable across rows (VERDICT r3 "disco+kd
+        # bookkeeping"). Computed once per segment, outside the timed
+        # loop — an eager per-step add dispatches a device op inside the
+        # throughput measurement (r4 advisor, bench_table.py:538).
+        if metrics is not None:
             loss = metrics["cls_loss"] + metrics["loc_loss"]
         jax.block_until_ready(loss)
         train_s += time.time() - t0

@@ -63,9 +63,20 @@ def load_records(paths):
 
 def _mean_std(vals):
     n = len(vals)
+    if n == 0:
+        return "—"
     mean = sum(vals) / n
     std = (sum((v - mean) ** 2 for v in vals) / n) ** 0.5
     return f"{mean:.4g}±{std:.2g}" if n > 1 else f"{mean:.4g}"
+
+
+#: Task loss (cls+loc) in these sweeps never exceeds ~2; curves written
+#: before the e3c6d5c final_loss fix recorded the kd_weight-scaled TOTAL
+#: (task + 1e5×KD MSE ≈ 1e2–1e4) for disco+kd rows. Anything above this
+#: is that legacy bookkeeping, not a task loss — exclude it from the
+#: task_loss fold and say so, instead of laundering it into a labeled
+#: "task_loss" cell (r4 advisor, bench_table_merge.py:100).
+_LEGACY_LOSS_CUTOFF = 10.0
 
 
 def render(by_mode, curves_paths, note=""):
@@ -91,16 +102,45 @@ def render(by_mode, curves_paths, note=""):
     )
     lines.append("| " + " | ".join(head) + " |")
     lines.append("|" + "---|" * len(head))
+    footnotes = []
     for mode, per_seed in by_mode.items():
         finals = {s: c[-1] for s, c in per_seed.items()}
+        # Seeds stopped at different --steps must not silently fold into
+        # one mean±std cell (r4 advisor, low): tag each per-seed cell
+        # with its final step and footnote the mismatch.
+        final_steps = {f["step"] for f in finals.values()}
+        uneven = len(final_steps) > 1
         row = [mode]
         row += [
-            f"{finals[s]['mAP@0.5']:g}" if s in finals else "—" for s in seeds
+            (
+                f"{finals[s]['mAP@0.5']:g}"
+                + (f" @{finals[s]['step']}" if uneven else "")
+            )
+            if s in finals
+            else "—"
+            for s in seeds
         ]
-        for key in ("mAP@0.5", "mAP@0.7", "loss"):
+        if uneven:
+            footnotes.append(
+                f"- **{mode}**: seeds reached different final steps "
+                f"({', '.join(str(s) for s in sorted(final_steps))}); the "
+                "mean±std cells fold unequal budgets."
+            )
+        for key in ("mAP@0.5", "mAP@0.7"):
             row.append(_mean_std([f[key] for f in finals.values()]))
+        losses = [f["loss"] for f in finals.values()]
+        ok_losses = [v for v in losses if v <= _LEGACY_LOSS_CUTOFF]
+        if len(ok_losses) < len(losses):
+            footnotes.append(
+                f"- **{mode}**: {len(losses) - len(ok_losses)} seed(s) "
+                "carry a pre-e3c6d5c kd_weight-scaled total instead of the "
+                "task loss; excluded from the task_loss cell."
+            )
+        row.append(_mean_std(ok_losses))
         row.append(str(len(finals)))
         lines.append("| " + " | ".join(row) + " |")
+    if footnotes:
+        lines += ["", "### Data caveats", ""] + footnotes
     lines += [
         "",
         "## Convergence (mAP@0.5 at each eval milestone)",
