@@ -245,7 +245,7 @@ def _cached_pipeline_sps(module, cfg, spec, tstate) -> float:
     import jax.numpy as jnp
 
     from v2x_sim_tpu.datasets.cache import NpzCacheDataset, save_frame
-    from v2x_sim_tpu.datasets.loader import prefetch
+    from v2x_sim_tpu.datasets.loader import device_prefetch
     from v2x_sim_tpu.datasets.synthetic import generate_scene
     from v2x_sim_tpu.ops.anchors import anchor_grid
     from v2x_sim_tpu.tools.common import strip_stale_targets
@@ -268,16 +268,20 @@ def _cached_pipeline_sps(module, cfg, spec, tstate) -> float:
             for e in range(n):
                 yield from ds.batches(BATCH, shuffle=True, seed=e)
 
+        def dev_stage(raw):
+            """Read->stacked host batch -> device-prepared batch. Runs in
+            the prefetch thread (datasets.loader.device_prefetch): the
+            host->device transfer for batch N+1 overlaps batch N's step —
+            the r4 pipeline serialized transfer behind the step and lost
+            40% of the on-chip rate to it (VERDICT r4 missing #5)."""
+            raw = strip_stale_targets(raw, cfg)
+            b = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+            return module.prepare_batch(b)
+
         def consume(n, state):
             steps = 0
-            for raw in prefetch(epochs(n), depth=2):
-                raw = strip_stale_targets(raw, cfg)
-                b = {
-                    k: jnp.asarray(v) for k, v in raw.items() if k != "visible"
-                }
-                state, metrics = module.train_step(
-                    state, module.prepare_batch(b)
-                )
+            for batch in device_prefetch(epochs(n), dev_stage, depth=2):
+                state, metrics = module.train_step(state, batch)
                 steps += 1
             _ = float(metrics["loss"])  # force the whole chain
             return steps, state
@@ -286,7 +290,40 @@ def _cached_pipeline_sps(module, cfg, spec, tstate) -> float:
         t0 = time.perf_counter()
         steps, tstate = consume(2, tstate)
         dt = time.perf_counter() - t0
-        return BATCH * steps / dt
+        sps = BATCH * steps / dt
+
+        # Stage decomposition (stderr; the stdout contract stays one JSON
+        # line): serial per-stage timings over one epoch, so the headline
+        # overlap number above can be attributed (VERDICT r4 task 7).
+        t_read = time.perf_counter()
+        raws = [strip_stale_targets(r, cfg) for r in epochs(1)]
+        t_read = time.perf_counter() - t_read
+        t_xfer = time.perf_counter()
+        devs = [
+            {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+            for raw in raws
+        ]
+        jax.block_until_ready(devs)
+        t_xfer = time.perf_counter() - t_xfer
+        t_prep = time.perf_counter()
+        preps = [module.prepare_batch(b) for b in devs]
+        jax.block_until_ready(preps)
+        t_prep = time.perf_counter() - t_prep
+        t_step = time.perf_counter()
+        for b in preps:
+            tstate, metrics = module.train_step(tstate, b)
+        _ = float(metrics["loss"])
+        t_step = time.perf_counter() - t_step
+        n_sc = BATCH * len(raws)
+        print(
+            "cached-pipeline decomposition (serial, scenes/sec): "
+            f"read+decompress {n_sc / t_read:.1f}, "
+            f"host->device {n_sc / t_xfer:.1f}, "
+            f"prepare {n_sc / t_prep:.1f}, "
+            f"train_step {n_sc / t_step:.1f}; overlapped e2e {sps:.1f}",
+            file=sys.stderr,
+        )
+        return sps
     finally:
         _shutil.rmtree(tmpdir, ignore_errors=True)
 

@@ -49,3 +49,18 @@ class Prefetcher:
 def prefetch(source: Iterable, depth: int = 2) -> Iterator:
     """Iterate `source` with background prefetching."""
     return iter(Prefetcher(source, depth))
+
+
+def device_prefetch(
+    source: Iterable, stage: Callable, depth: int = 2
+) -> Iterator:
+    """Prefetch with an on-thread device stage: `stage(raw)` (typically
+    `lambda raw: module.prepare_batch(to_dev(raw))`) runs inside the
+    prefetch thread, so the host->device transfer AND the prepare
+    dispatch for batch N+1 are enqueued while the main thread blocks on
+    batch N's train step. jax dispatch is thread-safe and asynchronous;
+    over the tunneled single-chip link the transfer is the dominant term
+    of the disk pipeline (docs/PERF.md round-5 decomposition), and
+    serializing it behind the step was most of the r4 train vs
+    train_cached gap (84.7 vs 51.2 scenes/sec, BENCH_r04)."""
+    return prefetch((stage(raw) for raw in source), depth)

@@ -468,6 +468,22 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         )
     )
 
+    def eval_batch(e):
+        """Held-out eval batch `e` — generated once per process and
+        reused across modes/seeds/milestones (host generation is
+        ~0.8 s/batch at the full grid; the eval seeds are fixed, so
+        regenerating per eval was pure waste)."""
+        key = ("eval", e)
+        if shared is None:
+            return generate_batch(
+                config, spec, batch_size=args.batch, seed=900_000 + e
+            )
+        if key not in shared:
+            shared[key] = generate_batch(
+                config, spec, batch_size=args.batch, seed=900_000 + e
+            )
+        return shared[key]
+
     def evaluate(state):
         """Held-out eval -> ({mAP@t: v}, eval_s). predict consumes the raw
         batch directly (it voxelizes itself); prepare_batch would add a
@@ -475,9 +491,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         det_b, det_s, det_v, gt_b, gt_m, am = [], [], [], [], [], []
         t0 = time.time()
         for e in range(args.eval_batches):
-            raw = generate_batch(
-                config, spec, batch_size=args.batch, seed=900_000 + e
-            )
+            raw = eval_batch(e)
             res = mod.predict(
                 state, to_dev(raw), args.max_boxes, args.nms_iou,
                 args.score_threshold,

@@ -142,25 +142,33 @@ def main():
         train_step = make_parallel_train_step(module, mesh)
         prepare = make_parallel_prepare(module, mesh)
 
-    from v2x_sim_tpu.datasets.loader import prefetch
+    from v2x_sim_tpu.datasets.loader import device_prefetch
+
+    def dev_stage(raw):
+        """Host batch -> device-prepared batch, run inside the prefetch
+        thread (datasets.loader.device_prefetch) so the host->device
+        transfer + prepare dispatch of batch N+1 overlap batch N's step
+        (the r4 disk pipeline serialized them — BENCH_r04 51.2 vs 84.7
+        scenes/sec; docs/PERF.md round-5 decomposition)."""
+        raw = strip_stale_targets(raw, config)
+        batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        return prepare(batch)
 
     timer = StepTimer(scenes_per_step=args.batch)
     for epoch in range(start_epoch, args.nepoch):
-        for bi, raw in enumerate(
-            prefetch(
+        for bi, prepared in enumerate(
+            device_prefetch(
                 make_batches(
                     args,
                     config,
                     split_seed=epoch * 1000,
                     num_batches=args.batches_per_epoch,
-                )
+                ),
+                dev_stage,
             )
         ):
-            raw = strip_stale_targets(raw, config)
-            batch = {k: jnp.asarray(v) for k, v in raw.items() if k != "visible"}
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            prepared = prepare(batch)
             if kd_weight > 0.0:
                 state, metrics = train_step(state, prepared, teacher_vars)
             else:
