@@ -77,6 +77,12 @@ def parse_args():
     )
     p.add_argument("--agents", type=int, default=2)
     p.add_argument("--occlusion", type=float, default=0.45)
+    p.add_argument(
+        "--lidar_range", type=float, default=0.0,
+        help="per-agent LiDAR range in meters (0 = grid default: 40 at "
+        "tiny, 20 elsewhere). range < extents is the production regime "
+        "— far vehicles are only detectable through collaboration",
+    )
     p.add_argument("--out", default="BENCH_TABLE.md")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -205,13 +211,17 @@ def build_config(args):
 def build_spec(args):
     from v2x_sim_tpu.datasets.synthetic import SyntheticSpec
 
+    rng = getattr(args, "lidar_range", 0.0) or None
     if args.grid in ("tiny", "tiny1m"):
         return SyntheticSpec(
             num_vehicles=6, points_per_agent=512, max_gt=8,
             points_per_vehicle=48, occlusion_prob=args.occlusion,
-            lidar_range=40.0 if args.grid == "tiny" else 20.0,
+            lidar_range=rng or (40.0 if args.grid == "tiny" else 20.0),
         )
-    return SyntheticSpec(occlusion_prob=args.occlusion)
+    return SyntheticSpec(
+        occlusion_prob=args.occlusion,
+        **({"lidar_range": rng} if rng else {}),
+    )
 
 
 def _learning_rate(args):

@@ -51,6 +51,8 @@ def parse_args():
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--cosine", action="store_true")
     p.add_argument("--occlusion", type=float, default=0.45)
+    p.add_argument("--lidar_range", type=float, default=0.0,
+                   help="see bench_table --lidar_range")
     p.add_argument("--data_pool", type=int, default=150)
     p.add_argument("--bake_pool", type=int, default=1)
     p.add_argument("--task", default="det")  # _train_stream contract
