@@ -65,9 +65,11 @@ def parse_args():
     )
     p.add_argument("--eval_batches", type=int, default=8)
     p.add_argument(
-        "--grid", default="tiny", choices=["tiny", "tiny1m", "small", "full"],
+        "--grid", default="tiny",
+        choices=["tiny", "tiny1m", "small", "medium", "full"],
         help="tiny=32x32/2m (CPU-feasible), tiny1m=32x32/1m (vehicle "
-        "footprints span cells — use for seg), small=64x64, full=256x256",
+        "footprints span cells — use for seg), small=64x64, "
+        "medium=128x128/0.5m (production-bisection), full=256x256",
     )
     p.add_argument(
         "--seg_depth", type=int, default=4,
@@ -202,6 +204,9 @@ def build_config(args):
     elif args.grid == "small":
         grid = GridConfig(voxel_size=(1.0, 1.0, 0.625))
         layer = 2
+    elif args.grid == "medium":
+        grid = GridConfig(voxel_size=(0.5, 0.5, 0.5))
+        layer = 3
     else:
         grid = GridConfig()
         layer = 3

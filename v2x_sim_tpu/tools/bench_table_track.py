@@ -42,7 +42,7 @@ def parse_args():
     p.add_argument("--modes", default="all", help="comma list or 'all'")
     p.add_argument("--seed", type=int, default=0, help="which saved seed")
     p.add_argument("--grid", default="full",
-                   choices=["tiny", "tiny1m", "small", "full"])
+                   choices=["tiny", "tiny1m", "small", "medium", "full"])
     p.add_argument("--agents", type=int, default=2)
     p.add_argument("--occlusion", type=float, default=0.45)
     p.add_argument("--width_mult", type=float, default=1.0)

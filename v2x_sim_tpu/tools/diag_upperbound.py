@@ -42,7 +42,7 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--modes", default="upperbound,lowerbound,disco")
     p.add_argument("--grid", default="full",
-                   choices=["tiny", "tiny1m", "small", "full"])
+                   choices=["tiny", "tiny1m", "small", "medium", "full"])
     p.add_argument("--agents", type=int, default=6)
     p.add_argument("--width_mult", type=float, default=1.0)
     p.add_argument("--steps", type=int, default=3000)
