@@ -353,9 +353,50 @@ def _attempt() -> tuple:
     return None, f"rc={proc.returncode}; stderr tail: {proc.stderr[-800:]}"
 
 
+def _preflight() -> str:
+    """30 s device round-trip probe (compile + execute + PULL). The
+    round-4→5 outage mode was a terminal whose execute path worked but
+    whose device->host transfer path hung forever — a probe that only
+    block_until_ready()s looks healthy while every result pull stalls.
+    Returns '' when healthy, else a one-line diagnosis for the JSON."""
+    code = (
+        "import numpy as np, jax.numpy as jnp;"
+        "y = jnp.ones((128,128)) @ jnp.ones((128,128));"
+        "print('OK', float(np.asarray(y)[0,0]))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=90,
+        )
+    except subprocess.TimeoutExpired:
+        return (
+            "preflight: device->host pull did not complete in 90s — "
+            "TPU tunnel transfer path is wedged (execute/compile may "
+            "still respond); bench skipped to fail fast"
+        )
+    if proc.returncode != 0 or "OK" not in proc.stdout:
+        return f"preflight failed rc={proc.returncode}: {proc.stderr[-300:]}"
+    return ""
+
+
 def main() -> None:
-    """Orchestrator: bounded attempt -> cache wipe -> one retry ->
-    guaranteed JSON output either way."""
+    """Orchestrator: preflight -> bounded attempt -> cache wipe -> one
+    retry -> guaranteed JSON output either way."""
+    err = _preflight()
+    if err:
+        print(
+            json.dumps(
+                {
+                    "metric": METRIC_NAME,
+                    "value": 0.0,
+                    "unit": "scenes/sec",
+                    "vs_baseline": 0.0,
+                    "error": err,
+                }
+            )
+        )
+        sys.exit(1)
     line, err = _attempt()
     if line is None:
         # Round-2 failure mode: persisted AOT executables built by a
