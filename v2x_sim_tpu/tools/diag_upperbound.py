@@ -133,7 +133,14 @@ def main():
             import optax
 
             g = jax.grad(lambda pp: mod.loss_fn(pp, s, b, None, True)[0])(p)
-            return optax.global_norm(g)
+            out = {"grad_norm": optax.global_norm(g)}
+            # Per-subtree norms: a mode that learns slowly because its
+            # HEAD gradients vanish looks very different from one whose
+            # encoder gradients do.
+            for key in ("encoder", "decoder", "cls_head", "reg_head"):
+                if key in g:
+                    out[f"g_{key}"] = optax.global_norm(g[key])
+            return out
 
         grad_norm = jax.jit(grad_norm_fn)
 
@@ -206,10 +213,8 @@ def main():
                     float(np.mean([float(m[key]) for m in ev])), 4)
                 rec[f"held_{key}_bat"] = round(
                     float(np.mean([float(m[key]) for m in tv])), 4)
-            rec["grad_norm"] = round(
-                float(grad_norm(state.params, state.batch_stats, held_prep[0])),
-                3,
-            )
+            gn = grad_norm(state.params, state.batch_stats, held_prep[0])
+            rec.update({k: round(float(v), 3) for k, v in gn.items()})
             ss = score_stats(state.params, state.batch_stats, held_prep[0])
             rec.update({k: round(float(v), 4) for k, v in ss.items()})
             rec["map_held"] = round(eval_map(held), 4)
