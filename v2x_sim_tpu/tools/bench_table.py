@@ -137,6 +137,12 @@ def parse_args():
         "only the student's cost",
     )
     p.add_argument(
+        "--grad_clip", type=float, default=0.0,
+        help="global-norm gradient clip before Adam (reference FaFModule "
+        "clips; 0 = off, matching the committed unclipped rows — "
+        "docs/UPPERBOUND_DIAGNOSIS.md)",
+    )
+    p.add_argument(
         "--cosine", action="store_true",
         help="warmup+cosine-decay lr schedule over --steps (peak --lr, "
         "decay to 5%%): squeezes more convergence out of short budgets "
@@ -425,6 +431,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         kd_reduce=args.kd_reduce,
         v2v_rounds=args.v2v_rounds,
         warp_flag=bool(args.warp_flag),
+        grad_clip=getattr(args, "grad_clip", 0.0),
     )
     raw0 = generate_batch(config, spec, batch_size=args.batch, seed=seed)
     state = mod.init(jax.random.PRNGKey(seed), to_dev(raw0))

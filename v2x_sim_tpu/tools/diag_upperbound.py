@@ -50,6 +50,7 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--cosine", action="store_true")
+    p.add_argument("--grad_clip", type=float, default=0.0)
     p.add_argument("--occlusion", type=float, default=0.45)
     p.add_argument("--lidar_range", type=float, default=0.0,
                    help="see bench_table --lidar_range")
@@ -62,6 +63,15 @@ def parse_args():
     p.add_argument("--nms_iou", type=float, default=0.1)
     p.add_argument("--max_boxes", type=int, default=16)
     p.add_argument("--out", default="/tmp/diag_upperbound.jsonl")
+    p.add_argument(
+        "--arms", default="",
+        help="semicolon list of LR:CLIP:SCHED arms (SCHED in "
+        "{const,cosine}), e.g. '3e-3:0:const;1e-3:0:const;"
+        "3e-3:1.0:const'. Each arm trains every --modes mode with that "
+        "optimizer config, sharing the pool — the remediation sweep "
+        "for the held-out-loc instability (UPPERBOUND_DIAGNOSIS.md). "
+        "Empty = single arm from --lr/--cosine/--grad_clip",
+    )
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
 
@@ -109,11 +119,46 @@ def main():
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    for mode in args.modes.split(","):
+    if args.arms:
+        arms = []
+        for arm_spec in args.arms.split(";"):
+            lr, clip, sched = arm_spec.strip().split(":")
+            arms.append((float(lr), float(clip), sched))
+    else:
+        arms = [(args.lr, args.grad_clip, "cosine" if args.cosine else "const")]
+
+    import argparse as _ap
+
+    for arm_lr, arm_clip, arm_sched in arms:
+        a = _ap.Namespace(**vars(args))
+        a.lr, a.grad_clip, a.cosine = arm_lr, arm_clip, arm_sched == "cosine"
+        arm_tag = (
+            f"@lr={arm_lr:g},clip={arm_clip:g},{arm_sched}"
+            if args.arms else ""
+        )
+        run_modes(args.modes, a, arm_tag, config, spec, shared, held, emit)
+
+
+def run_modes(modes, args, arm_tag, config, spec, shared, held, emit):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2x_sim_tpu.datasets.synthetic import generate_batch
+    from v2x_sim_tpu.tools.bench_table import _learning_rate, _train_stream
+    from v2x_sim_tpu.train.det_module import DetModule
+    from v2x_sim_tpu.utils.mean_ap import eval_map_agents
+
+    drop = ("visible", "gt_vehicle", "seg_labels")
+
+    def to_dev(raw):
+        return {k: jnp.asarray(v) for k, v in raw.items() if k not in drop}
+
+    for mode in modes.split(","):
         mode = mode.strip()
         mod = DetModule(
             config, mode=mode, learning_rate=_learning_rate(args),
-            width_mult=args.width_mult,
+            width_mult=args.width_mult, grad_clip=args.grad_clip,
         )
         raw0 = generate_batch(config, spec, batch_size=args.batch, seed=args.seed)
         state = mod.init(jax.random.PRNGKey(args.seed), to_dev(raw0))
@@ -199,7 +244,7 @@ def main():
         pool_probe = [stream(s) for s in range(2)]  # training scenes
 
         def probe(step, last_metrics):
-            rec = {"mode": mode, "step": step}
+            rec = {"mode": mode + arm_tag, "step": step}
             if last_metrics is not None:
                 rec["train_cls"] = round(float(last_metrics["cls_loss"]), 4)
                 rec["train_loc"] = round(float(last_metrics["loc_loss"]), 4)

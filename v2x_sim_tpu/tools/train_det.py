@@ -21,6 +21,11 @@ def parse_args():
     add_common_args(p)
     p.add_argument("--nepoch", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument(
+        "--grad_clip", type=float, default=0.0,
+        help="global-norm gradient clip before Adam (reference FaFModule"
+        " clips between backward and step; 0 = off)",
+    )
     p.add_argument("--kd_flag", type=int, default=0)
     p.add_argument("--kd_weight", type=float, default=1e5)
     p.add_argument(
@@ -90,6 +95,7 @@ def main():
         use_vis=bool(args.use_vis),
         warp_flag=bool(args.warp_flag),
         width_mult=args.width_mult,
+        grad_clip=args.grad_clip,
     )
 
     first = strip_stale_targets(

@@ -77,6 +77,7 @@ class DetModule:
         v2v_msg_norm: bool = False,
         width_mult: float = 1.0,
         spatial_mesh=None,
+        grad_clip: float = 0.0,
     ):
         self.config = config
         self.mode = mode
@@ -150,13 +151,28 @@ class DetModule:
             else None
         )
         self.anchors = jnp.asarray(anchor_grid(config))
+        # Global-norm gradient clipping before Adam. The reference's
+        # FaFModule clips between backward and step (SURVEY.md §2.1 /
+        # §3.2 "loss.backward(); clip; optimizer.step()" — exact
+        # max_norm unpinned, PARITY.md #13); 0.0 disables (legacy rows
+        # in committed tables trained unclipped). The production-
+        # geometry upperbound instability is the motivating case:
+        # docs/UPPERBOUND_DIAGNOSIS.md.
+        self.grad_clip = grad_clip
         # Voxelize straight into the s2d-blocked layout the encoder
         # consumes (skips the full-res relayout; ops.voxelize). Only when
         # the model runs s2d and no extra input channels get concatenated.
         self._occ_blocked = (
             mode in ("lowerbound", "upperbound") or config.fusion_layer >= 1
         ) and not use_vis
-        self.tx = optax.adam(learning_rate)
+        self.tx = (
+            optax.chain(
+                optax.clip_by_global_norm(grad_clip),
+                optax.adam(learning_rate),
+            )
+            if grad_clip > 0.0
+            else optax.adam(learning_rate)
+        )
         # Jitted entry points. The raw *_impl methods stay undecorated so
         # parallel.mesh can wrap them in shard_map before jitting.
         self.prepare_batch = jax.jit(self._prepare_batch_impl)
