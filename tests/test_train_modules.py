@@ -193,3 +193,31 @@ def test_v2v_rounds_and_msg_norm_step(batch):
     assert any("msg_norm" in str(p) for p, _ in flat)
     state, m = mod.train_step(state, mod.prepare_batch(batch))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_det_grad_clip_bounds_the_update(batch):
+    """grad_clip chains clip_by_global_norm before Adam (the reference
+    FaFModule clips between backward and step — SURVEY.md §2.1;
+    remediation knob for docs/UPPERBOUND_DIAGNOSIS.md). At init the
+    unclipped focal gradient norm is O(100); with clip=1.0 the clipped
+    transform must produce a bounded first Adam update and still train
+    to a finite, decreasing loss."""
+    import optax
+
+    mod = DetModule(CFG, mode="upperbound", learning_rate=2e-3, grad_clip=1.0)
+    state = mod.init(jax.random.PRNGKey(0), batch)
+    prepared = mod.prepare_batch(batch)
+
+    g = jax.grad(
+        lambda p: mod.loss_fn(p, state.batch_stats, prepared, None, True)[0]
+    )(state.params)
+    assert float(optax.global_norm(g)) > 10.0  # raw init gradient is huge
+    clipped, _ = optax.clip_by_global_norm(1.0).update(g, None)
+    assert float(optax.global_norm(clipped)) <= 1.0 + 1e-4
+
+    losses = []
+    for _ in range(12):
+        state, m = mod.train_step(state, prepared)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
