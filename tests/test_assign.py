@@ -56,3 +56,49 @@ def test_every_valid_gt_gets_an_anchor():
     )
     # Forced-positive rule: at least one positive anchor per GT.
     assert int((np.asarray(tgt.labels) == 1).sum()) >= m
+
+
+def test_sparse_positive_labels_always_supervised_fine_grid():
+    """Round-5 invariant (docs/UPPERBOUND_DIAGNOSIS.md): in the sparse
+    layout every label==1 anchor must carry a localization target; when
+    positive cells exceed capacity the excess is demoted to ignore (-1),
+    never left as an unsupervised positive. At 0.25 m voxels each GT has
+    IoU>=0.4 anchors over ~100 cells, so a dense scene is exactly the
+    regime that used to overflow the old 256-cell capacity."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2x_sim_tpu.configs.config import Config
+    from v2x_sim_tpu.ops.anchors import anchor_grid
+    from v2x_sim_tpu.ops.assign import (
+        assign_targets_batched,
+        sparse_cell_capacity,
+    )
+
+    cfg = Config()  # production grid: 256x256 at 0.25 m
+    assert sparse_cell_capacity(cfg) >= 1024
+    rng = np.random.default_rng(0)
+    m = 12
+    gt = np.stack(
+        [
+            rng.uniform(-28, 28, m),
+            rng.uniform(-28, 28, m),
+            rng.uniform(3.8, 5.0, m),
+            rng.uniform(1.6, 2.1, m),
+            rng.uniform(-np.pi, np.pi, m),
+        ],
+        -1,
+    ).astype(np.float32)[None]
+    anchors = jnp.asarray(anchor_grid(cfg))
+    sp = assign_targets_batched(
+        jnp.asarray(gt), jnp.ones((1, m), bool), anchors, cfg, flat="sparse"
+    )
+    lab = np.asarray(sp.labels)[0]
+    wts = np.asarray(sp.wts)[0]
+    cells = np.asarray(sp.cells)[0]
+    k = cfg.anchors.num_anchors
+    lanes = (cells[:, None] * k + np.arange(k)).reshape(-1)
+    sup = np.zeros(lab.shape[0], bool)
+    sup[lanes] = wts > 0
+    assert (lab == 1).sum() > 100  # dense scene: plenty of positives
+    assert ((lab == 1) <= sup).all()  # every positive is supervised

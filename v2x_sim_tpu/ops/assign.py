@@ -50,8 +50,30 @@ from v2x_sim_tpu.ops.iou_sh import (
 )
 
 #: Padded positive-cell capacity of the sparse assignment output
-#: (assign_targets_batched(flat="sparse")); scenes peak at ~100.
+#: (assign_targets_batched(flat="sparse")) at coarse grids, where a GT
+#: vehicle covers a handful of cells.
 _SPARSE_CELLS = 256
+
+#: Fine-grid capacity. At 0.25 m voxels a 4.5x1.9 m vehicle has
+#: IoU >= 0.4 anchors over a ~15x7-cell neighborhood (~90-100 positive
+#: cells per GT; measured 210-672 per agent-scene with 4-12 GT at the
+#: production grid), so 256 truncated MOST positives: the overflowed
+#: anchors kept their positive cls labels with NO regression target,
+#: trained to score ~1 while regressing garbage, and flooded the
+#: decode's top-K — the round-4 production-table mAP ceiling and the
+#: upperbound-inversion oscillation (docs/UPPERBOUND_DIAGNOSIS.md).
+_SPARSE_CELLS_FINE = 1024
+
+
+def sparse_cell_capacity(config: Config) -> int:
+    """Positive-cell capacity of the sparse target layout for `config`'s
+    grid. Any positive cell beyond capacity is DEMOTED to ignore (-1) in
+    the cls labels — an unsupervised positive is poison (see
+    _SPARSE_CELLS_FINE); an ignored one just forgoes a little signal."""
+    vx = float(config.grid.voxel_size[0])
+    cap = _SPARSE_CELLS if vx >= 1.0 else _SPARSE_CELLS_FINE
+    h, w = config.grid.bev_shape
+    return min(cap, h * w)
 
 
 def target_fingerprint(config: Config) -> int:
@@ -75,6 +97,14 @@ def target_fingerprint(config: Config) -> int:
         anchor_grid(config), dtype=np.float32
     ).tobytes() + np.asarray(
         [a.pos_iou_threshold, a.neg_iou_threshold, float(a.box_code_size)],
+        np.float32,
+    ).tobytes() + np.asarray(
+        # Sparse-layout semantics: the positive-cell capacity and the
+        # round-5 demote-overflow-to-ignore invariant both change what
+        # baked labels MEAN — caches baked under the old semantics must
+        # be detected as stale. The trailing constant is a semantics
+        # version, bumped with any such behavioral change.
+        [float(sparse_cell_capacity(config)), 2.0],
         np.float32,
     ).tobytes()
     return zlib.crc32(payload) & 0x7FFFFFFF  # int32-safe
@@ -274,7 +304,7 @@ def assign_targets_batched(
         # 58 GiB/s; one-hot dots pad N to 128); instead pick the
         # positive cells here and encode ONLY their K anchors (tiny
         # vector math). Pc = _SPARSE_CELLS.
-        pc = _SPARSE_CELLS
+        pc = sparse_cell_capacity(config)
         hw = h * w
         cell_any = jax.lax.reduce_window(
             reg_mask,
@@ -326,11 +356,22 @@ def assign_targets_batched(
             [sax, say, sal, saw, jnp.zeros_like(sax)], axis=-1
         )
         reg_sp = encode_boxes(sgt, sanch) * wts[..., None]
-        # Capacity accounting: positive cells beyond the top-Pc keep their
-        # positive cls labels but lose their localization targets — report
-        # the drop count instead of truncating silently.
+        # Capacity accounting + the supervised-positive invariant: a
+        # positive cls label MUST carry a localization target. Positive
+        # anchors in cells beyond the top-Pc selection are DEMOTED to
+        # ignore (-1): leaving them positive trains score≈1 anchors with
+        # unsupervised (garbage) boxes that flood the decode's top-K —
+        # the round-4 production-table failure (_SPARSE_CELLS_FINE note,
+        # docs/UPPERBOUND_DIAGNOSIS.md). The overflow count is still
+        # reported so callers can warn when capacity is actually hit.
         n_pos_cells = jnp.sum((cell_any > 0).astype(jnp.int32), axis=-1)
         overflow = jnp.maximum(n_pos_cells - pc, 0)
+        supervised = (
+            jnp.zeros((b, n), dtype=jnp.bool_)
+            .at[jnp.arange(b)[:, None], lanes]
+            .max(wts > 0)
+        )
+        labels = jnp.where((labels == 1) & ~supervised, -1, labels)
         return SparseTargets(
             labels.astype(jnp.int8), cells, wts, reg_sp, overflow
         )

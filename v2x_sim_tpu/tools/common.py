@@ -117,13 +117,13 @@ def strip_stale_targets(raw: dict, config: Config) -> dict:
         return raw
     import numpy as np
 
-    from v2x_sim_tpu.ops.assign import _SPARSE_CELLS, target_fingerprint
+    from v2x_sim_tpu.ops.assign import sparse_cell_capacity, target_fingerprint
 
     h, w = config.grid.bev_shape
     k = config.anchors.num_anchors
     arr = np.asarray(raw["tgt_meta"])
     meta = tuple(int(x) for x in arr.reshape(-1, arr.shape[-1])[0])
-    want = (h, w, k, _SPARSE_CELLS, target_fingerprint(config))
+    want = (h, w, k, sparse_cell_capacity(config), target_fingerprint(config))
     if meta == want:
         return {k2: v for k2, v in raw.items() if k2 != "tgt_meta"}
     return {k2: v for k2, v in raw.items() if not k2.startswith("tgt_")}
