@@ -136,13 +136,18 @@ def test_decode_topk_blocked_matches_plain():
     cls_p, reg_p = unblock(cls_blk), unblock(reg_blk)
     anchors = jnp.asarray(anchor_grid(cfg))
 
-    ref = decode_topk(cls_p, reg_p, anchors, 32, 0.3, am, exact=True)
-    got = decode_topk_blocked(cls_blk, reg_blk, cfg, 32, 0.3, am, exact=True)
-    for r, g, name in zip(ref, got, ("boxes", "scores", "valid")):
-        np.testing.assert_allclose(
-            np.asarray(r, np.float32), np.asarray(g, np.float32),
-            atol=1e-5, err_msg=name,
+    for pw in (0, 3):  # pw=3 also covers the blocked peak-filter relayout
+        ref = decode_topk(
+            cls_p, reg_p, anchors, 32, 0.3, am, exact=True, peak_window=pw
         )
+        got = decode_topk_blocked(
+            cls_blk, reg_blk, cfg, 32, 0.3, am, exact=True, peak_window=pw
+        )
+        for r, g, name in zip(ref, got, ("boxes", "scores", "valid")):
+            np.testing.assert_allclose(
+                np.asarray(r, np.float32), np.asarray(g, np.float32),
+                atol=1e-5, err_msg=f"{name} pw={pw}",
+            )
 
 
 def test_decode_topk_blocked_lazy_matches_standard():
@@ -185,3 +190,55 @@ def test_decode_topk_blocked_lazy_matches_standard():
             np.asarray(r, np.float32), np.asarray(g, np.float32),
             atol=1e-4, err_msg=name,
         )
+
+
+def test_peak_filter_recovers_all_vehicles_at_saturated_scores():
+    """Production-geometry failure mode (docs/UPPERBOUND_DIAGNOSIS.md):
+    each vehicle saturates a blob of anchors, so a global top-K fills
+    with duplicates of the strongest blobs and NMS collapses them. With
+    the 3x3 peak filter, k=16 must yield one box per vehicle."""
+    from v2x_sim_tpu.configs.config import Config, GridConfig
+    from v2x_sim_tpu.ops.anchors import anchor_grid
+    from v2x_sim_tpu.ops.nms import batched_nms
+    from v2x_sim_tpu.ops.postprocess import decode_topk
+
+    cfg = Config(grid=GridConfig())  # production 256x256, 0.25 m voxels
+    anchors = jnp.asarray(anchor_grid(cfg))
+    h, w, kk = anchors.shape[:3]
+    rng = np.random.default_rng(0)
+    centers = [(40, 40), (40, 200), (128, 128), (200, 64), (220, 220)]
+    diff = np.full((1, 1, h, w, kk), -12.0, np.float32)
+    for n, (ci, cj) in enumerate(centers):
+        # 9x9 saturated blob with a faint gradient toward the center and
+        # per-blob amplitude spread -- the post-training score surface.
+        for di in range(-4, 5):
+            for dj in range(-4, 5):
+                d = max(abs(di), abs(dj))
+                diff[0, 0, ci + di, cj + dj, :] = 12.0 - 0.1 * d - 0.2 * n
+    diff += rng.normal(0, 1e-3, diff.shape).astype(np.float32)
+    cls = np.zeros((1, 1, h, w, kk, 2), np.float32)
+    cls[..., 1] = diff / 2
+    cls[..., 0] = -diff / 2
+    reg = np.zeros((1, 1, h, w, kk, 6), np.float32)
+    am = jnp.ones((1, 1), bool)
+
+    def n_found(peak_window):
+        boxes, scores, valid = decode_topk(
+            jnp.asarray(cls), jnp.asarray(reg), anchors, 16, 0.05, am,
+            exact=True, peak_window=peak_window,
+        )
+        res = batched_nms(boxes, scores, valid, 0.1)
+        kept = np.asarray(res.boxes)[np.asarray(res.valid)]
+        # Count distinct vehicle centers among kept boxes (anchor decode
+        # with zero reg lands at the cell center).
+        found = set()
+        for bx in kept:
+            for ci, cj in centers:
+                cx = cfg.grid.lower[0] + (ci + 0.5) * cfg.grid.voxel_size[0]
+                cy = cfg.grid.lower[1] + (cj + 0.5) * cfg.grid.voxel_size[1]
+                if abs(bx[0] - cx) < 1.5 and abs(bx[1] - cy) < 1.5:
+                    found.add((ci, cj))
+        return len(found)
+
+    assert n_found(0) < len(centers)  # global top-16: duplicate-capped
+    assert n_found(3) == len(centers)  # peak-filtered: all recovered

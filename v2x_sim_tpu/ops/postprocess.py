@@ -18,6 +18,40 @@ from v2x_sim_tpu.ops.boxes import decode_boxes
 from v2x_sim_tpu.ops.nms import NMSResult, batched_nms
 
 
+def _peak_filter(diff_full: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Keep only spatial local maxima of the score map; everything else
+    drops to -inf so top-K never selects it.
+
+    diff_full: (N, H, W, K) foreground-logit differences. A cell-anchor
+    survives iff its score equals the max over the `window`x`window`
+    spatial neighborhood across ALL K anchor lanes — i.e. at most one
+    candidate per local score peak (CenterNet-style max-pool NMS, here
+    as the pre-top-K stage).
+
+    Why this exists: at production geometry (0.25 m voxels) one vehicle
+    saturates ~80 positive anchors. A global top-K over raw scores fills
+    with duplicates of the few highest-scoring vehicles, and NMS then
+    collapses them to ~1 box — the oracle probe (decode the training
+    targets themselves) measured mAP@0.5 = 0.15 at K=16 vs 0.88 at
+    K=512 from exactly this (docs/UPPERBOUND_DIAGNOSIS.md). The
+    reference never truncates pre-NMS (its postprocess keeps every
+    above-threshold box, † coperception/utils/postprocess.py), so K=16
+    silently deviated from it at fine grids. Peak filtering restores
+    ~1 candidate/vehicle, making a small static K faithful again —
+    one reduce_window max + compare, VPU-friendly, no dynamic shapes.
+    """
+    cell_max = jnp.max(diff_full, axis=-1, keepdims=True)
+    pooled = jax.lax.reduce_window(
+        cell_max,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+    return jnp.where(diff_full >= pooled, diff_full, -jnp.inf)
+
+
 def decode_topk(
     cls_logits: jnp.ndarray,
     reg: jnp.ndarray,
@@ -26,6 +60,7 @@ def decode_topk(
     score_threshold: float,
     agent_mask: jnp.ndarray,
     exact: bool = False,
+    peak_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Top-K score selection + box decode.
 
@@ -39,6 +74,9 @@ def decode_topk(
       exact: use exact top_k (a full sort on TPU) instead of the
         hardware-accelerated `approx_max_k` (recall ~0.99; downstream NMS
         + the score threshold make the difference unmeasurable in mAP).
+      peak_window: if > 0, keep only spatial local maxima of the score
+        map before top-K (see _peak_filter) — required at fine voxel
+        grids where one object saturates many anchors.
 
     Returns:
       boxes (B, A, k, 5), scores (B, A, k), valid (B, A, k).
@@ -57,7 +95,10 @@ def decode_topk(
     # Binary softmax == sigmoid of the logit difference; rank on the raw
     # difference and sigmoid only the k survivors (saves a full-grid
     # softmax over ~10M logits).
-    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(b * a, -1)
+    diff = cls_flat[..., 1::nc] - cls_flat[..., 0::nc]  # (BA, H, W, K)
+    if peak_window:
+        diff = _peak_filter(diff, peak_window)
+    diff = diff.reshape(b * a, -1)
     flat_anchors = anchors.reshape(-1, 5)
 
     if exact:
@@ -89,7 +130,7 @@ def decode_topk(
 
 
 
-def _topk_blocked(cls_blk, k, exact):
+def _topk_blocked(cls_blk, k, exact, peak_window=0):
     """Shared front half of the blocked decoders: rank the binary logit
     difference over the blocked map, sigmoid the K survivors, and
     decompose each flat index into (blocked cell, phase-major anchor pk,
@@ -101,7 +142,17 @@ def _topk_blocked(cls_blk, k, exact):
     b, a, h2, w2, k4, nc = cls_blk.shape
     kk = k4 // 4
     cls_flat = cls_blk.reshape(b * a, h2, w2, k4 * nc)
-    diff = (cls_flat[..., 1::nc] - cls_flat[..., 0::nc]).reshape(b * a, -1)
+    diff = cls_flat[..., 1::nc] - cls_flat[..., 0::nc]  # (BA, h2, w2, 4K)
+    if peak_window:
+        # The spatial neighborhood lives at full resolution: un-block,
+        # filter, re-block (two free relayouts vs the 453 MB reg map the
+        # blocked path exists to avoid — diff is one f32 lane per anchor).
+        from v2x_sim_tpu.models.s2d import depth_to_space, space_to_depth
+
+        diff = space_to_depth(
+            _peak_filter(depth_to_space(diff), peak_window)
+        )
+    diff = diff.reshape(b * a, -1)
     if exact:
         top_diff, top_idx = jax.lax.top_k(diff, k)
     else:
@@ -151,6 +202,7 @@ def decode_topk_blocked(
     score_threshold: float,
     agent_mask: jnp.ndarray,
     exact: bool = False,
+    peak_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """`decode_topk` on space-to-depth (blocked) head outputs.
 
@@ -171,7 +223,9 @@ def decode_topk_blocked(
     kk = k4 // 4
     code = reg_blk.shape[-1]
     reg_flat = reg_blk.reshape(b * a, h2 * w2, k4 * code)
-    top_scores, cell, pk, _, ki, hi, wi = _topk_blocked(cls_blk, k, exact)
+    top_scores, cell, pk, _, ki, hi, wi = _topk_blocked(
+        cls_blk, k, exact, peak_window
+    )
 
     rows = _onehot_rows(reg_flat, cell)
     # Lane select as a one-hot contraction (take_along_axis gathers are
@@ -199,6 +253,7 @@ def decode_topk_blocked_lazy(
     score_threshold: float,
     agent_mask: jnp.ndarray,
     exact: bool = False,
+    peak_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """`decode_topk_blocked` with a LAZY regression head.
 
@@ -220,7 +275,9 @@ def decode_topk_blocked_lazy(
     code = int(b1.shape[-1]) // kk
     n = b * a
     hid_flat = reg_hidden_blk.reshape(n, h2 * w2, hid4)
-    top_scores, cell, pk, p, ki, hi, wi = _topk_blocked(cls_blk, k, exact)
+    top_scores, cell, pk, p, ki, hi, wi = _topk_blocked(
+        cls_blk, k, exact, peak_window
+    )
 
     rows = _onehot_rows(hid_flat, cell)  # (n, k, 4*HID)
     # Select the 2x2 phase group and the anchor's code lanes via one-hot

@@ -159,6 +159,14 @@ class DetModule:
         # geometry upperbound instability is the motivating case:
         # docs/UPPERBOUND_DIAGNOSIS.md.
         self.grad_clip = grad_clip
+        # Pre-top-K spatial peak filter (ops.postprocess._peak_filter).
+        # At fine voxel grids one vehicle saturates ~80 anchors, so a
+        # global top-K fills with duplicates of a few vehicles and NMS
+        # collapses them — the production-geometry mAP cap of rounds 3-4
+        # (oracle-decode evidence: docs/UPPERBOUND_DIAGNOSIS.md). 3x3
+        # peaks at <=0.5 m voxels (~one candidate per vehicle); disabled
+        # at coarse grids where two vehicles can share a neighborhood.
+        self.peak_window = 3 if config.grid.voxel_size[0] <= 0.5 else 0
         # Voxelize straight into the s2d-blocked layout the encoder
         # consumes (skips the full-res relayout; ops.voxelize). Only when
         # the model runs s2d and no extra input channels get concatenated.
@@ -598,6 +606,7 @@ class DetModule:
                 score_threshold,
                 batch["agent_mask"],
                 exact=exact_topk,
+                peak_window=self.peak_window,
             )
         else:
             boxes, top_scores, valid = decode_topk(
@@ -608,5 +617,6 @@ class DetModule:
                 score_threshold,
                 batch["agent_mask"],
                 exact=exact_topk,
+                peak_window=self.peak_window,
             )
         return batched_nms(boxes, top_scores, valid, nms_iou)
