@@ -44,3 +44,29 @@ def test_device_prefetch_surfaces_stage_errors():
         for x in it:
             got.append(x)
     assert got == [0, 1, 2]  # items before the failure were delivered
+
+
+def test_cache_threaded_and_uncompressed_roundtrip(tmp_path):
+    """Wire-format knobs (datasets.cache): threaded batch reads and
+    uncompressed frames must reproduce the serial/compressed bytes."""
+    import numpy as np
+
+    from v2x_sim_tpu.datasets.cache import NpzCacheDataset, save_frame
+
+    rng = np.random.default_rng(0)
+    frames = [
+        {"x": rng.normal(size=(3, 4)).astype(np.float32),
+         "i": rng.integers(0, 9, size=(5,), dtype=np.int32)}
+        for _ in range(5)
+    ]
+    for comp, sub in ((True, "c"), (False, "u")):
+        d = str(tmp_path / sub)
+        for n, f in enumerate(frames):
+            save_frame(d, f"f{n:03d}", f, compress=comp)
+        ds = NpzCacheDataset(d)
+        serial = list(ds.batches(2, shuffle=True, seed=3, workers=0))
+        threaded = list(ds.batches(2, shuffle=True, seed=3, workers=4))
+        assert len(serial) == 3  # 2 + 2 + tail 1
+        for a, b in zip(serial, threaded):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])

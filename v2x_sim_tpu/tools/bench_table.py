@@ -113,6 +113,17 @@ def parse_args():
         "the ego frame before mixing (reference --warp_flag ablation)",
     )
     p.add_argument(
+        "--v2v_msg_norm", type=int, default=0,
+        help="GroupNorm on v2v messages (models.det.v2vnet msg_norm — "
+        "the V2V_DIAGNOSIS remediation); 0 matches the reference",
+    )
+    p.add_argument(
+        "--row_suffix", default="",
+        help="appended to the mode label in the table row and curves "
+        "records — lets ablation runs (--warp_flag 0, --v2v_msg_norm 1, "
+        "--v2v_rounds 1) land in a shared table without name collisions",
+    )
+    p.add_argument(
         "--v2v_rounds", type=int, default=3,
         help="V2VNet GNN message rounds (reference 3) — production-"
         "geometry convergence diagnostic knob",
@@ -430,6 +441,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         kd_weight=args.kd_weight if kd else 0.0,
         kd_reduce=args.kd_reduce,
         v2v_rounds=args.v2v_rounds,
+        v2v_msg_norm=bool(getattr(args, "v2v_msg_norm", 0)),
         warp_flag=bool(args.warp_flag),
         grad_clip=getattr(args, "grad_clip", 0.0),
     )
@@ -601,7 +613,7 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
         ) as f:
             pickle.dump(blob, f)
 
-    row = {"mode": mode}
+    row = {"mode": mode + getattr(args, "row_suffix", "")}
     row.update(curve[-1])
     del row["step"], row["loss"]
     row.update({
@@ -614,7 +626,11 @@ def run_mode(mode, args, config, spec, shared=None, seed=None):
     })
     print(json.dumps(row), flush=True)
     if args.curves_path:
-        rec = {"mode": mode, "seed": seed, "curve": curve}
+        rec = {
+            "mode": mode + getattr(args, "row_suffix", ""),
+            "seed": seed,
+            "curve": curve,
+        }
         if kd:
             rec["kd_weight"] = args.kd_weight
             rec["kd_reduce"] = args.kd_reduce
@@ -674,7 +690,7 @@ def run_mode_seg(mode, args, config, spec, shared=None, seed=None):
 
     ious = iou_from_confusion(cm)
     row = {
-        "mode": mode,
+        "mode": mode + getattr(args, "row_suffix", ""),
         "mIoU": round(ious["miou"], 4),
         "vehicle IoU": round(ious["iou_class1"], 4),
         "final_loss": round(loss, 3),

@@ -24,6 +24,11 @@ def parse_args():
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--uncompressed", action="store_true",
+        help="write plain (uncompressed) .npz frames: ~3x the bytes, no "
+        "zlib decompress on the read path (datasets.cache wire knobs)",
+    )
+    p.add_argument(
         "--cpu", action="store_true",
         help="run the baking ops (visibility / targets) on host CPU "
         "instead of the TPU tunnel — offline preprocessing shouldn't "
@@ -170,7 +175,8 @@ def main():
                     frame = _add_vis(frame, config, args.vis_samples)
                 if args.targets:
                     frame = _add_targets(frame, config, anchors, target_caps)
-                save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame)
+                save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame,
+                           compress=not args.uncompressed)
                 count += 1
     else:
         from v2x_sim_tpu.datasets.nuscenes import V2XSimDataset
@@ -190,7 +196,8 @@ def main():
                 frame = _add_vis(frame, config, args.vis_samples)
             if args.targets:
                 frame = _add_targets(frame, config, anchors, target_caps)
-            save_frame(out, f"frame{i:06d}", frame)
+            save_frame(out, f"frame{i:06d}", frame,
+                       compress=not args.uncompressed)
             count += 1
     print(f"wrote {count} frames to {out}")
 

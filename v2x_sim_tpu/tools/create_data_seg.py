@@ -20,6 +20,11 @@ def parse_args():
     p.add_argument("--grid", default="full", choices=["full", "small"])
     p.add_argument("--rsu", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--uncompressed", action="store_true",
+        help="write plain (uncompressed) .npz frames: ~3x the bytes, no "
+        "zlib decompress on the read path (datasets.cache wire knobs)",
+    )
     return p.parse_args()
 
 
@@ -47,7 +52,8 @@ def main():
         for si in range(args.scenes):
             for fi in range(args.frames):
                 frame = generate_scene(config, spec, seed=args.seed + si * 10_007 + fi)
-                save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame)
+                save_frame(out, f"scene{si:04d}_frame{fi:03d}", frame,
+                           compress=not args.uncompressed)
                 count += 1
     else:
         from v2x_sim_tpu.datasets.nuscenes import V2XSimDataset
@@ -64,7 +70,8 @@ def main():
             split=args.split if args.split in ("train", "val", "test") else None,
         )
         for i in range(len(ds)):
-            save_frame(out, f"frame{i:06d}", ds[i])
+            save_frame(out, f"frame{i:06d}", ds[i],
+                       compress=not args.uncompressed)
             count += 1
     print(f"wrote {count} frames to {out}")
 
