@@ -54,10 +54,17 @@ def test_pool_bake_reconstruction_matches_assignment():
             labels_from_sparse_idx(raw["pos_idx"], raw["ign_idx"], n)
         )
         assert np.array_equal(got.reshape(b * a, n), np.asarray(sp.labels))
-        # sparse localization targets rode along unchanged
-        assert np.array_equal(
-            np.asarray(raw["tgt_reg"]).reshape(b * a, *sp.reg.shape[1:]),
+        # sparse localization targets rode along, bf16-storage-rounded
+        # (pool HBM budget — bench_table._bake_pool_targets dtypes)
+        assert raw["tgt_reg"].dtype == jnp.bfloat16
+        assert raw["tgt_wts"].dtype == jnp.int8
+        np.testing.assert_allclose(
+            np.asarray(raw["tgt_reg"], np.float32).reshape(
+                b * a, *sp.reg.shape[1:]
+            ),
             np.asarray(sp.reg),
+            rtol=0.5 / 128,  # one bf16 ulp
+            atol=1e-6,
         )
 
 

@@ -338,8 +338,10 @@ class DetModule:
         cell, lane = self._positive_indices(cells, b, a)
         out["reg_cell"] = cell
         out["reg_lane"] = lane
-        out["reg_sp_t"] = reg
-        out["reg_sp_w"] = wts
+        # Baked/pooled targets may arrive storage-compressed (bf16 reg,
+        # int8 wts — bench_table pool HBM budget); the loss runs f32.
+        out["reg_sp_t"] = reg.astype(jnp.float32)
+        out["reg_sp_w"] = wts.astype(jnp.float32)
         if self.kd_weight > 0.0:
             out["teacher_occupancy"] = self.merged_occupancy(
                 batch["points"],
